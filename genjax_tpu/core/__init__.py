@@ -1,0 +1,88 @@
+"""Core layer: pytree base, staging utilities, generative data types, GFI."""
+
+from genjax_tpu.core.checkify import do_checkify, optional_check
+from genjax_tpu.core.choice_map import (
+    Address,
+    AddressComponent,
+    ChoiceMap,
+    ChoiceMapBuilder,
+    Selection,
+    SelectionBuilder,
+    StaticAddress,
+    StaticAddressComponent,
+)
+from genjax_tpu.core.concepts import (
+    Argdiffs,
+    Arguments,
+    EditRequest,
+    IndexRequest,
+    NotSupportedEditRequest,
+    PrimitiveEditRequest,
+    Retdiff,
+    Score,
+    Weight,
+)
+from genjax_tpu.core.diff import Diff, NoChange, UnknownChange
+from genjax_tpu.core.gfi import (
+    GenerativeFunction,
+    GenerativeFunctionClosure,
+    IgnoreKwargs,
+    Trace,
+    Update,
+)
+from genjax_tpu.core.mask import Mask
+from genjax_tpu.core.pytree import Closure, Const, Pytree, PythonicPytree, nth
+from genjax_tpu.core.requests import DiffAnnotate, EmptyRequest, Regenerate
+from genjax_tpu.core.staging import (
+    FlagOp,
+    empty_trace,
+    multi_switch,
+    stage,
+    to_shape_fn,
+    tree_choose,
+)
+
+__all__ = [
+    "Address",
+    "AddressComponent",
+    "Argdiffs",
+    "Arguments",
+    "ChoiceMap",
+    "ChoiceMapBuilder",
+    "Closure",
+    "Const",
+    "Diff",
+    "DiffAnnotate",
+    "EditRequest",
+    "EmptyRequest",
+    "FlagOp",
+    "GenerativeFunction",
+    "GenerativeFunctionClosure",
+    "IgnoreKwargs",
+    "IndexRequest",
+    "Mask",
+    "NoChange",
+    "NotSupportedEditRequest",
+    "PrimitiveEditRequest",
+    "Pytree",
+    "PythonicPytree",
+    "Regenerate",
+    "Retdiff",
+    "Score",
+    "Selection",
+    "SelectionBuilder",
+    "StaticAddress",
+    "StaticAddressComponent",
+    "Trace",
+    "UnknownChange",
+    "Update",
+    "Weight",
+    "do_checkify",
+    "empty_trace",
+    "multi_switch",
+    "nth",
+    "optional_check",
+    "stage",
+    "to_shape_fn",
+    "tree_choose",
+]

@@ -1,0 +1,783 @@
+"""Addressed sample storage: `ChoiceMap` and the `Selection` address algebra.
+
+Capability parity with reference `_src/core/generative/choice_map.py`
+(1786 LoC): the full Selection algebra (all/none/leaf/complement/static-
+prefix/and/or/wildcard `...`/choicemap-derived), the ChoiceMap node types
+(`Choice`, `Indexed`, `Static`, `Switch`, `Or`), builders (`C["x"].set(v)`),
+constructors (`choice/entry/from_mapping/d/kw/switch`), combinators
+(`filter`, `mask`, `extend`, `merge`, `|`, `&`, `+`), dynamic integer-array
+addressing, and `invalid_subset` support detection.
+
+TPU-first design notes
+----------------------
+* All leaf storage is dense arrays; dynamic-address access lowers to
+  gathers + `Mask` flags (never data-dependent control flow).
+* Vectorized choice maps are ordinary `Static` tries whose leaves carry
+  batch dimensions (produced by `vmap`-ing trace construction); per-index
+  lookup is a leaf-wise gather.
+* The trie structure itself is static metadata (dict keys live in the
+  treedef), so address resolution costs nothing at runtime.
+"""
+
+import functools
+from collections.abc import Iterable
+from dataclasses import dataclass
+from operator import or_
+from types import EllipsisType
+from typing import Any, Final, Generic, TypeVar
+
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax import Array
+
+from genjax_tpu.core.mask import Mask
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.typing import Flag, IntArray
+
+T = TypeVar("T")
+K_addr = TypeVar("K_addr")
+
+# -- address vocabulary ------------------------------------------------------
+
+StaticAddressComponent = str
+DynamicAddressComponent = int | slice | Array
+AddressComponent = StaticAddressComponent | DynamicAddressComponent
+Address = AddressComponent | tuple[AddressComponent, ...]
+StaticAddress = StaticAddressComponent | tuple[StaticAddressComponent, ...]
+ExtendedStaticAddressComponent = StaticAddressComponent | EllipsisType
+ExtendedStaticAddress = (
+    ExtendedStaticAddressComponent | tuple[ExtendedStaticAddressComponent, ...]
+)
+
+_full_slice = slice(None, None, None)
+
+
+def _drop_prefix(dynamic_components: list) -> list:
+    prefix_end = 0
+    for comp in dynamic_components:
+        if isinstance(comp, int) or (isinstance(comp, Array) and comp.shape == ()):
+            prefix_end += 1
+        else:
+            break
+    return dynamic_components[prefix_end:]
+
+
+def _validate_addr(
+    addr: tuple[AddressComponent, ...], allow_partial_slice: bool = False
+) -> tuple[AddressComponent, ...]:
+    """Validate address structure: scalar components, optionally one
+    partial slice / non-scalar array, then only full slices
+    (reference `choice_map.py:699-749`)."""
+    dynamic_components = [c for c in addr if isinstance(c, (slice, int, Array))]
+    if dynamic_components:
+        remaining = _drop_prefix(dynamic_components)
+        if len(remaining) > 0:
+            first = remaining[0]
+            if isinstance(first, Array) and first.shape != ():
+                remaining = remaining[1:]
+            elif (
+                allow_partial_slice
+                and isinstance(first, slice)
+                and first != _full_slice
+            ):
+                remaining = remaining[1:]
+        if not all(s == _full_slice for s in remaining):
+            if allow_partial_slice:
+                caveat = "an optional partial slice or Array, and then only full slices"
+            else:
+                caveat = "full slices"
+            raise ValueError(
+                f"Address must consist of scalar components, followed by "
+                f"{caveat}. Found: {dynamic_components}"
+            )
+    return addr
+
+
+##############
+# Selections #
+##############
+
+
+class _SelectionBuilder:
+    @property
+    def all(self) -> "Selection":
+        return Selection.all()
+
+    @property
+    def none(self) -> "Selection":
+        return Selection.none()
+
+    @property
+    def leaf(self) -> "Selection":
+        return Selection.leaf()
+
+    def __getitem__(self, addr: ExtendedStaticAddress) -> "Selection":
+        addr = addr if isinstance(addr, tuple) else (addr,)
+        return Selection.leaf().extend(*addr)
+
+
+class Selection(Pytree):
+    """An address-set algebra over choice map addresses.
+
+    Supports union (`|`), intersection (`&`), complement (`~`), nesting
+    (`extend`), and querying: `sel(addr)` returns the sub-selection, while
+    `sel[addr]` / `addr in sel` return whether the address is selected.
+    The wildcard `...` matches any single address component.
+    """
+
+    # `Selection.at` builder is assigned after the class definition (kept out
+    # of the class body so dataclass subclasses don't pick it up as a field).
+
+    @staticmethod
+    def all() -> "Selection":
+        return AllSel()
+
+    @staticmethod
+    def none() -> "Selection":
+        return NoneSel()
+
+    @staticmethod
+    def leaf() -> "Selection":
+        return LeafSel()
+
+    # -- combinators ---------------------------------------------------------
+
+    def __or__(self, other: "Selection") -> "Selection":
+        return OrSel.build(self, other)
+
+    def __and__(self, other: "Selection") -> "Selection":
+        return AndSel.build(self, other)
+
+    def __invert__(self) -> "Selection":
+        return ComplementSel.build(self)
+
+    def complement(self) -> "Selection":
+        return ~self
+
+    def filter(self, sample: "ChoiceMap") -> "ChoiceMap":
+        return sample.filter(self)
+
+    def extend(self, *addrs: ExtendedStaticAddressComponent) -> "Selection":
+        acc = self
+        for addr in reversed(addrs):
+            acc = StaticSel.build(acc, addr)
+        return acc
+
+    # -- querying -------------------------------------------------------------
+
+    def __call__(self, addr: StaticAddress) -> "Selection":
+        addr = addr if isinstance(addr, tuple) else (addr,)
+        sub = self
+        for comp in addr:
+            sub = sub.get_subselection(comp)
+        return sub
+
+    def __getitem__(self, addr: StaticAddress) -> bool:
+        return self(addr).check()
+
+    def __contains__(self, addr: StaticAddress) -> bool:
+        return self[addr]
+
+    def check(self) -> Flag:
+        raise NotImplementedError
+
+    def get_subselection(self, addr) -> "Selection":
+        raise NotImplementedError
+
+
+@Pytree.dataclass(match_args=True)
+class AllSel(Selection):
+    def check(self) -> Flag:
+        return True
+
+    def get_subselection(self, addr) -> Selection:
+        return self
+
+
+@Pytree.dataclass(match_args=True)
+class NoneSel(Selection):
+    def check(self) -> Flag:
+        return False
+
+    def get_subselection(self, addr) -> Selection:
+        return self
+
+
+@Pytree.dataclass
+class LeafSel(Selection):
+    def check(self) -> Flag:
+        return True
+
+    def get_subselection(self, addr) -> Selection:
+        return Selection.none()
+
+
+@Pytree.dataclass(match_args=True)
+class ComplementSel(Selection):
+    s: Selection
+
+    @staticmethod
+    def build(s: Selection) -> Selection:
+        match s:
+            case AllSel():
+                return Selection.none()
+            case NoneSel():
+                return Selection.all()
+            case ComplementSel():
+                return s.s
+            case _:
+                return ComplementSel(s)
+
+    def check(self) -> Flag:
+        return not self.s.check()
+
+    def get_subselection(self, addr) -> Selection:
+        return ~self.s(addr)
+
+
+@Pytree.dataclass(match_args=True)
+class StaticSel(Selection):
+    s: Selection = Pytree.field()
+    addr: ExtendedStaticAddressComponent = Pytree.static()
+
+    @staticmethod
+    def build(s: Selection, addr: ExtendedStaticAddressComponent) -> Selection:
+        match s:
+            case NoneSel():
+                return s
+            case _:
+                return StaticSel(s, addr)
+
+    def check(self) -> Flag:
+        return False
+
+    def get_subselection(self, addr) -> Selection:
+        if isinstance(self.addr, EllipsisType):
+            return self.s
+        if addr == self.addr:
+            return self.s
+        return Selection.none()
+
+
+@Pytree.dataclass(match_args=True)
+class AndSel(Selection):
+    s1: Selection
+    s2: Selection
+
+    @staticmethod
+    def build(a: Selection, b: Selection) -> Selection:
+        match (a, b):
+            case (AllSel(), _):
+                return b
+            case (_, AllSel()):
+                return a
+            case (NoneSel(), _):
+                return a
+            case (_, NoneSel()):
+                return b
+            case (a, b) if a == b:
+                return a
+            case _:
+                return AndSel(a, b)
+
+    def check(self) -> Flag:
+        return self.s1.check() and self.s2.check()
+
+    def get_subselection(self, addr) -> Selection:
+        return self.s1(addr) & self.s2(addr)
+
+
+@Pytree.dataclass(match_args=True)
+class OrSel(Selection):
+    s1: Selection
+    s2: Selection
+
+    @staticmethod
+    def build(a: Selection, b: Selection) -> Selection:
+        match (a, b):
+            case (AllSel(), _):
+                return a
+            case (_, AllSel()):
+                return b
+            case (NoneSel(), _):
+                return b
+            case (_, NoneSel()):
+                return a
+            case (a, b) if a == b:
+                return a
+            case _:
+                return OrSel(a, b)
+
+    def check(self) -> Flag:
+        return self.s1.check() or self.s2.check()
+
+    def get_subselection(self, addr) -> Selection:
+        return self.s1(addr) | self.s2(addr)
+
+
+@Pytree.dataclass(match_args=True)
+class ChmSel(Selection):
+    c: "ChoiceMap"
+
+    @staticmethod
+    def build(chm: "ChoiceMap") -> Selection:
+        if chm.static_is_empty():
+            return Selection.none()
+        return ChmSel(chm)
+
+    def check(self) -> Flag:
+        return self.c.has_value()
+
+    def get_subselection(self, addr) -> Selection:
+        return self.c.get_inner_map(addr).get_selection()
+
+
+SelectionBuilder = _SelectionBuilder()
+Selection.at = SelectionBuilder
+
+
+###############
+# Choice maps #
+###############
+
+
+@dataclass(frozen=True)
+class ChoiceMapNoValueAtAddress(Exception):
+    subaddr: Any
+
+
+class _ChoiceMapBuilder:
+    def __init__(self, choice_map: "ChoiceMap | None", addrs: list):
+        self.choice_map = choice_map
+        self.addrs = addrs
+
+    def __getitem__(self, addr: Address) -> "_ChoiceMapBuilder":
+        addr = addr if isinstance(addr, tuple) else (addr,)
+        return _ChoiceMapBuilder(self.choice_map, [*self.addrs, *addr])
+
+    def set(self, v) -> "ChoiceMap":
+        addrs = _validate_addr(tuple(self.addrs), allow_partial_slice=False)
+        chm = ChoiceMap.entry(v, *addrs)
+        if self.choice_map is None:
+            return chm
+        return chm + self.choice_map
+
+    def update(self, f) -> "ChoiceMap":
+        if self.choice_map is None:
+            return self.set(f(_empty))
+        submap = self.choice_map(tuple(self.addrs))
+        if submap.has_value():
+            return self.set(f(submap.get_value()))
+        return self.set(f(submap))
+
+    def n(self) -> "ChoiceMap":
+        return _empty
+
+    def v(self, v) -> "ChoiceMap":
+        return self.set(ChoiceMap.choice(v))
+
+    def from_mapping(self, mapping) -> "ChoiceMap":
+        return self.set(ChoiceMap.from_mapping(mapping))
+
+    def d(self, d: dict) -> "ChoiceMap":
+        return self.set(ChoiceMap.d(d))
+
+    def kw(self, **kwargs) -> "ChoiceMap":
+        return self.set(ChoiceMap.kw(**kwargs))
+
+    def switch(self, idx, chms) -> "ChoiceMap":
+        return self.set(ChoiceMap.switch(idx, chms))
+
+
+class ChoiceMap(Pytree):
+    """A functional trie of addressed random choices.
+
+    Addresses mix static string components (trie dict keys — free at
+    runtime) and dynamic integer-array components (dense gathers + Mask).
+    """
+
+    # -- abstract interface ----------------------------------------------------
+
+    def filter(self, selection: "Selection | Flag") -> "ChoiceMap":
+        raise NotImplementedError
+
+    def get_value(self) -> Any:
+        raise NotImplementedError
+
+    def get_inner_map(self, addr: AddressComponent) -> "ChoiceMap":
+        raise NotImplementedError
+
+    # -- derived interface -------------------------------------------------------
+
+    def get_submap(self, *addresses: Address) -> "ChoiceMap":
+        addr = tuple(
+            label
+            for a in addresses
+            for label in (a if isinstance(a, tuple) else (a,))
+        )
+        addr = _validate_addr(addr, allow_partial_slice=True)
+        return functools.reduce(lambda chm, comp: chm.get_inner_map(comp), addr, self)
+
+    def has_value(self) -> bool:
+        return self.get_value() is not None
+
+    # -- constructors ---------------------------------------------------------------
+    # (`ChoiceMap.builder` is assigned after the class definition.)
+
+    @staticmethod
+    def empty() -> "ChoiceMap":
+        return _empty
+
+    @staticmethod
+    def choice(v: Any) -> "ChoiceMap":
+        return Choice.build(v)
+
+    @staticmethod
+    def value(v: Any) -> "ChoiceMap":
+        return Choice.build(v)
+
+    @staticmethod
+    def entry(v, *addrs: AddressComponent) -> "ChoiceMap":
+        if isinstance(v, ChoiceMap):
+            chm = v
+        elif isinstance(v, dict):
+            chm = ChoiceMap.d(v)
+        else:
+            chm = ChoiceMap.choice(v)
+        return chm.extend(*addrs)
+
+    @staticmethod
+    def from_mapping(pairs: Iterable[tuple[Any, Any]]) -> "ChoiceMap":
+        acc = ChoiceMap.empty()
+        for addr, v in pairs:
+            addr = addr if isinstance(addr, tuple) else (addr,)
+            acc |= ChoiceMap.entry(v, *addr)
+        return acc
+
+    @staticmethod
+    def d(d: dict) -> "ChoiceMap":
+        return ChoiceMap.from_mapping(d.items())
+
+    @staticmethod
+    def kw(**kwargs) -> "ChoiceMap":
+        return ChoiceMap.d(kwargs)
+
+    @staticmethod
+    def switch(idx: IntArray, chms: Iterable["ChoiceMap"]) -> "ChoiceMap":
+        return Switch.build(idx, chms)
+
+    # -- combinators ---------------------------------------------------------------
+
+    def mask(self, flag: Flag) -> "ChoiceMap":
+        return self.filter(flag)
+
+    def extend(self, *addrs: AddressComponent) -> "ChoiceMap":
+        acc = self
+        for addr in reversed(addrs):
+            if isinstance(addr, StaticAddressComponent):
+                acc = Static.build({addr: acc})
+            else:
+                acc = Indexed.build(acc, addr)
+        return acc
+
+    def merge(self, other: "ChoiceMap") -> "ChoiceMap":
+        return self | other
+
+    def get_selection(self) -> Selection:
+        return ChmSel.build(self)
+
+    def static_is_empty(self) -> bool:
+        return False
+
+    # -- dunders ------------------------------------------------------------------
+
+    def __or__(self, other: "ChoiceMap") -> "ChoiceMap":
+        return Or.build(self, other)
+
+    def __xor__(self, other: "ChoiceMap") -> "ChoiceMap":
+        return self | other
+
+    def __and__(self, other: "ChoiceMap") -> "ChoiceMap":
+        return other.filter(self.get_selection())
+
+    def __add__(self, other: "ChoiceMap") -> "ChoiceMap":
+        return self | other
+
+    def __call__(self, *addresses: Address) -> "ChoiceMap":
+        return self.get_submap(*addresses)
+
+    def __getitem__(self, addr: Address):
+        submap = self.get_submap(addr)
+        v = submap.get_value()
+        if v is None:
+            raise ChoiceMapNoValueAtAddress(addr)
+        return v
+
+    def __contains__(self, addr: Address) -> bool:
+        return self.get_submap(addr).has_value()
+
+    @property
+    def at(self) -> _ChoiceMapBuilder:
+        return _ChoiceMapBuilder(self, [])
+
+    def invalid_subset(self, gen_fn, args) -> "ChoiceMap | None":
+        """Return the sub-choicemap whose addresses are not reachable in
+        `gen_fn(*args)`'s execution, or None if all addresses are valid."""
+        shape_chm = gen_fn.get_zero_trace(*args).get_choices()
+        shape_sel = _shape_selection(shape_chm)
+        extras = self.filter(~shape_sel)
+        if not extras.static_is_empty():
+            return extras
+        return None
+
+
+@Pytree.dataclass(match_args=True)
+class Choice(Generic[T], ChoiceMap):
+    """A choice map holding a single value at the root."""
+
+    v: T
+
+    @staticmethod
+    def build(v: T) -> ChoiceMap:
+        if isinstance(v, Array) and v.shape == (0,):
+            return ChoiceMap.empty()
+        if isinstance(v, Mask):
+            flag = v.primal_flag()
+            if flag is False:
+                return ChoiceMap.empty()
+            if flag is True:
+                return Choice(v.value)
+            return Choice(v)
+        return Choice(v)
+
+    def filter(self, selection: Selection | Flag) -> ChoiceMap:
+        if isinstance(selection, Selection):
+            if selection.check():
+                return self
+            return ChoiceMap.empty()
+        masked = Mask.build(self.v, selection)
+        return Choice.build(masked)
+
+    def get_value(self) -> T:
+        return self.v
+
+    def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
+        if isinstance(addr, StaticAddressComponent):
+            return ChoiceMap.empty()
+        return jtu.tree_map(
+            lambda v: v[addr], self, is_leaf=lambda x: isinstance(x, Mask)
+        )
+
+
+@Pytree.dataclass(match_args=True)
+class Indexed(ChoiceMap):
+    """A choice map nested under a dynamic (integer-array) address."""
+
+    c: ChoiceMap
+    addr: IntArray
+
+    @staticmethod
+    def build(chm: ChoiceMap, addr: DynamicAddressComponent) -> ChoiceMap:
+        if chm.static_is_empty():
+            return chm
+        if isinstance(addr, slice):
+            if addr == _full_slice:
+                return chm
+            raise ValueError(f"Partial slices not supported: {addr}")
+        if isinstance(addr, Array) and addr.shape == (0,):
+            return ChoiceMap.empty()
+        return Indexed(chm, addr)
+
+    def filter(self, selection: Selection | Flag) -> ChoiceMap:
+        return self.c.filter(selection).extend(self.addr)
+
+    def get_value(self) -> Any:
+        return None
+
+    def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
+        if isinstance(addr, StaticAddressComponent):
+            return ChoiceMap.empty()
+
+        if not isinstance(addr, slice):
+            assert not jnp.asarray(addr, copy=False).shape, (
+                "Only scalar dynamic addresses are supported by get_submap."
+            )
+
+        if isinstance(self.addr, Array) and self.addr.shape:
+            assert not isinstance(addr, slice), (
+                "Slices are not allowed against array-shaped dynamic "
+                f"addresses. Tried to apply {addr} to {self.addr}."
+            )
+            check = self.addr == addr
+            # Single gather: find the matching position (or junk slot 0
+            # masked False).
+            idx = jnp.argwhere(check, size=1, fill_value=0)[0, 0]
+            return jtu.tree_map(
+                lambda v: Mask.build(v[idx], check[idx]),
+                self.c,
+                is_leaf=lambda x: isinstance(x, Mask),
+            )
+
+        return self.c.mask(self.addr == addr)
+
+
+@Pytree.dataclass(match_args=True)
+class Static(ChoiceMap):
+    """A static trie node: dict of address component -> sub choice map.
+
+    The dict keys are static metadata (treedef), so address resolution is
+    free at runtime; only leaf arrays are traced.
+    """
+
+    mapping: dict
+
+    @staticmethod
+    def build(d: dict) -> "Static":
+        def unwrap(sub):
+            if isinstance(sub, Static):
+                return sub.mapping
+            return sub
+
+        return Static({k: unwrap(v) for k, v in d.items() if not v.static_is_empty()})
+
+    @staticmethod
+    def merge_with(merge, c1: "Static", c2: "Static") -> ChoiceMap:
+        merged = {}
+        for key in c1.mapping.keys() | c2.mapping.keys():
+            if key in c1.mapping and key in c2.mapping:
+                merged[key] = merge(c1.get_submap(key), c2.get_submap(key))
+            elif key in c1.mapping:
+                merged[key] = c1.get_submap(key)
+            else:
+                merged[key] = c2.get_submap(key)
+        return Static.build(merged)
+
+    def filter(self, selection: Selection | Flag) -> ChoiceMap:
+        def to_subsel(addr):
+            if isinstance(selection, Selection):
+                return selection(addr)
+            return selection
+
+        return Static.build({
+            addr: self.get_submap(addr).filter(to_subsel(addr))
+            for addr in self.mapping.keys()
+        })
+
+    def get_value(self) -> Any:
+        return None
+
+    def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
+        if isinstance(addr, StaticAddressComponent):
+            v = self.mapping.get(addr, {})
+            return Static(v) if isinstance(v, dict) else v
+        return jtu.tree_map(
+            lambda v: v[addr], self, is_leaf=lambda x: isinstance(x, Mask)
+        )
+
+    def static_is_empty(self) -> bool:
+        return len(self.mapping) == 0
+
+
+@Pytree.dataclass(match_args=True)
+class Switch(ChoiceMap):
+    """Index-masked union of several choice maps: branch `i` is masked by
+    `idx == i`."""
+
+    idx: IntArray
+    chms: list[ChoiceMap]
+
+    @staticmethod
+    def build(idx, chm_iter: Iterable[ChoiceMap]) -> ChoiceMap:
+        if isinstance(idx, int):
+            return list(chm_iter)[idx]
+        chms = [chm.mask(i == idx) for i, chm in enumerate(chm_iter)]
+        return Switch(idx, chms)
+
+    def filter(self, selection: Selection | Flag) -> ChoiceMap:
+        return Switch(self.idx, [chm.filter(selection) for chm in self.chms])
+
+    def get_value(self) -> Any:
+        vs = [chm.get_value() for chm in self.chms]
+        entries = [Mask.build(v) for v in vs if v is not None]
+        return Mask.or_n(*entries) if entries else None
+
+    def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
+        return Switch(self.idx, [chm.get_inner_map(addr) for chm in self.chms])
+
+
+@Pytree.dataclass(match_args=True)
+class Or(ChoiceMap):
+    """Left-prioritized union of two choice maps."""
+
+    c1: ChoiceMap
+    c2: ChoiceMap
+
+    @staticmethod
+    def build(c1: ChoiceMap, c2: ChoiceMap) -> ChoiceMap:
+        if c2.static_is_empty():
+            return c1
+        if c1.static_is_empty():
+            return c2
+        match (c1, c2):
+            case (Static(), Static()):
+                return Static.merge_with(or_, c1, c2)
+            case (Choice(a), Choice(b)):
+                a = Mask.build(a)
+                b = Mask.build(b)
+                return Choice.build(a | b)
+            case (Switch(), Switch()):
+                raise Exception(
+                    f"Can't currently handle two switches in an Or: {c1}, {c2}"
+                )
+            case (Switch(idx, chms), _):
+                return Switch.build(idx, [sub | c2 for sub in chms])
+            case (_, Switch(idx, chms)):
+                return Switch.build(idx, [c1 | sub for sub in chms])
+            case (Choice(), _) | (_, Choice()):
+                raise Exception(f"Choice and non-Choice in Or: {c1}, {c2}")
+            case _:
+                return Or(c1, c2)
+
+    def filter(self, selection: Selection | Flag) -> ChoiceMap:
+        return self.c1.filter(selection) | self.c2.filter(selection)
+
+    def get_value(self) -> Any:
+        return None
+
+    def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
+        return self.c1.get_inner_map(addr) | self.c2.get_inner_map(addr)
+
+
+def _shape_selection(chm: ChoiceMap) -> Selection:
+    """Build the selection of all addresses reachable in `chm`'s structure
+    (used by `invalid_subset`)."""
+
+    def loop(inner: ChoiceMap, selection: Selection) -> Selection:
+        match inner:
+            case Static(mapping):
+                acc = Selection.none()
+                for addr in mapping.keys():
+                    sub_chm = inner.get_submap(addr)
+                    sub_sel = selection(addr)
+                    acc |= loop(sub_chm, sub_sel).extend(addr)
+                return acc
+            case Indexed(c, _):
+                return loop(c, selection).extend(...)
+            case Choice():
+                return LeafSel()
+            case Or(c1, c2):
+                return loop(c1, selection) | loop(c2, selection)
+            case Switch(_, chms):
+                acc = loop(chms[0], selection)
+                for sub in chms[1:]:
+                    acc |= loop(sub, selection)
+                return acc
+            case _:
+                raise ValueError(f"Unknown ChoiceMap type: {type(inner)}")
+
+    return loop(chm, Selection.all())
+
+
+_empty = Static({})
+ChoiceMapBuilder = _ChoiceMapBuilder(_empty, [])
+ChoiceMap.builder = _ChoiceMapBuilder(None, [])

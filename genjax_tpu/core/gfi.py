@@ -1,0 +1,372 @@
+"""`Trace` and `GenerativeFunction`: the generative function interface (GFI).
+
+Capability parity with reference
+`_src/core/generative/generative_function.py:72-1689`:
+
+* `Trace`: `get_args/get_retval/get_score/get_choices/get_gen_fn`,
+  `edit/update/project/get_subtrace/get_inner_trace`.
+* `GenerativeFunction`: abstract `simulate/assess/generate/project/edit`,
+  derived `update/importance/propose`, `get_zero_trace`, kwargs handling,
+  `__call__` returning an addressable closure (`gf(args) @ "addr"`), and
+  the full postfix combinator family (`vmap/repeat/scan/accumulate/reduce/
+  iterate/iterate_final/masked_iterate(_final)/mask/or_else/switch/mix/
+  dimap/map/contramap/marginal`).
+* `Update` edit request.
+
+Weight/score math follows the Gen/SMCP3 specification documented in the
+reference docstrings (`generative_function.py:93-135, 496-604`).
+"""
+
+import functools
+from typing import Any, Generic, TypeVar
+
+from genjax_tpu.core.choice_map import Address, ChoiceMap, Selection
+from genjax_tpu.core.concepts import (
+    Argdiffs,
+    Arguments,
+    EditRequest,
+    PrimitiveEditRequest,
+    Retdiff,
+    Score,
+    Weight,
+)
+from genjax_tpu.core.diff import Diff
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.staging import empty_trace
+from genjax_tpu.core.typing import InAxes, PRNGKey
+
+R = TypeVar("R")
+S = TypeVar("S")
+Carry = TypeVar("Carry")
+Y = TypeVar("Y")
+
+
+#########
+# Trace #
+#########
+
+
+class Trace(Generic[R], Pytree):
+    """An execution record of a generative function: arguments, return
+    value, addressed random choices, and the score (log density of the
+    sample under the function's distribution over samples)."""
+
+    def get_args(self) -> Arguments:
+        raise NotImplementedError
+
+    def get_retval(self) -> R:
+        raise NotImplementedError
+
+    def get_score(self) -> Score:
+        raise NotImplementedError
+
+    def get_choices(self) -> ChoiceMap:
+        raise NotImplementedError
+
+    def get_sample(self) -> ChoiceMap:
+        return self.get_choices()
+
+    def get_gen_fn(self) -> "GenerativeFunction[R]":
+        raise NotImplementedError
+
+    def edit(
+        self,
+        key: PRNGKey,
+        request: EditRequest,
+        argdiffs: tuple | None = None,
+    ) -> tuple["Trace[R]", Weight, Retdiff, EditRequest]:
+        return request.edit(
+            key,
+            self,
+            Diff.no_change(self.get_args()) if argdiffs is None else argdiffs,
+        )
+
+    def update(
+        self,
+        key: PRNGKey,
+        constraint: ChoiceMap,
+        argdiffs: tuple | None = None,
+    ) -> tuple["Trace[R]", Weight, Retdiff, ChoiceMap]:
+        return self.get_gen_fn().update(
+            key,
+            self,
+            constraint,
+            Diff.no_change(self.get_args()) if argdiffs is None else argdiffs,
+        )
+
+    def project(self, key: PRNGKey, selection: Selection) -> Weight:
+        return self.get_gen_fn().project(key, self, selection)
+
+    def get_subtrace(self, *addresses: Address) -> "Trace[Any]":
+        return functools.reduce(
+            lambda tr, addr: tr.get_inner_trace(addr), addresses, self
+        )
+
+    def get_inner_trace(self, _address: Address) -> "Trace[Any]":
+        raise NotImplementedError(
+            "This type of Trace object does not possess subtraces."
+        )
+
+    @property
+    def batch_shape(self):
+        return len(self.get_score())
+
+
+#######################
+# Generative function #
+#######################
+
+
+class GenerativeFunction(Generic[R], Pytree):
+    """The type of generative functions: probabilistic programs exposing
+    `simulate`, `assess`, `generate`, `project`, and `edit` (the GFI)."""
+
+    def __call__(self, *args, **kwargs) -> "GenerativeFunctionClosure[R]":
+        return GenerativeFunctionClosure(self, args, kwargs)
+
+    def __abstract_call__(self, *args) -> R:
+        """Zero-FLOP abstract execution for shape inference."""
+        return self.get_zero_trace(*args).get_retval()
+
+    def handle_kwargs(self) -> "GenerativeFunction[R]":
+        return IgnoreKwargs(self)
+
+    def get_zero_trace(self, *args, **_kwargs) -> Trace[R]:
+        return empty_trace(self, args)
+
+    # -- abstract GFI ----------------------------------------------------------
+
+    def simulate(self, key: PRNGKey, args: Arguments) -> Trace[R]:
+        """Sample from the distribution over samples and return a trace."""
+        raise NotImplementedError
+
+    def assess(self, sample: ChoiceMap, args: Arguments) -> tuple[Score, R]:
+        """Evaluate the log density of a fully-constraining sample."""
+        raise NotImplementedError
+
+    def generate(
+        self, key: PRNGKey, constraint: ChoiceMap, args: Arguments
+    ) -> tuple[Trace[R], Weight]:
+        """Importance-sample a trace consistent with `constraint`; the weight
+        is `log P(t)/Q(t; constraint)` (internal-proposal importance weight)."""
+        raise NotImplementedError
+
+    def project(
+        self, key: PRNGKey, trace: Trace[R], selection: Selection
+    ) -> Weight:
+        raise NotImplementedError
+
+    def edit(
+        self,
+        key: PRNGKey,
+        trace: Trace[R],
+        edit_request: EditRequest,
+        argdiffs: Argdiffs,
+    ) -> tuple[Trace[R], Weight, Retdiff, EditRequest]:
+        """Respond to an SMCP3 edit request: returns the new trace, the
+        incremental weight, the retdiff, and the backward request."""
+        raise NotImplementedError
+
+    # -- derived interfaces ------------------------------------------------------
+
+    def update(
+        self,
+        key: PRNGKey,
+        trace: Trace[R],
+        constraint: ChoiceMap,
+        argdiffs: Argdiffs,
+    ) -> tuple[Trace[R], Weight, Retdiff, ChoiceMap]:
+        request = Update(constraint)
+        tr, w, rd, bwd = request.edit(key, trace, argdiffs)
+        assert isinstance(bwd, Update), type(bwd)
+        return tr, w, rd, bwd.constraint
+
+    def importance(
+        self, key: PRNGKey, constraint: ChoiceMap, args: Arguments
+    ) -> tuple[Trace[R], Weight]:
+        return self.generate(key, constraint, args)
+
+    def propose(
+        self, key: PRNGKey, args: Arguments
+    ) -> tuple[ChoiceMap, Score, R]:
+        tr = self.simulate(key, args)
+        return tr.get_choices(), tr.get_score(), tr.get_retval()
+
+    # -- postfix combinators -------------------------------------------------------
+
+    def vmap(self, /, *, in_axes: InAxes = 0) -> "GenerativeFunction[R]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.vmap(in_axes=in_axes)(self)
+
+    def repeat(self, /, *, n: int) -> "GenerativeFunction[R]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.repeat(n=n)(self)
+
+    def scan(self, /, *, n: int | None = None) -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.scan(n=n)(self)
+
+    def accumulate(self) -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.accumulate()(self)
+
+    def reduce(self) -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.reduce()(self)
+
+    def iterate(self, /, *, n: int) -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.iterate(n=n)(self)
+
+    def iterate_final(self, /, *, n: int) -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.iterate_final(n=n)(self)
+
+    def masked_iterate(self) -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.masked_iterate()(self)
+
+    def masked_iterate_final(self) -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.masked_iterate_final()(self)
+
+    def mask(self) -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.mask(self)
+
+    def or_else(self, gen_fn: "GenerativeFunction[Any]") -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.or_else(self, gen_fn)
+
+    def switch(self, *branches: "GenerativeFunction[Any]") -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.switch(self, *branches)
+
+    def mix(self, *fns: "GenerativeFunction[Any]") -> "GenerativeFunction[Any]":
+        import genjax_tpu.combinators as cmb
+
+        return cmb.mix(self, *fns)
+
+    def dimap(self, /, *, pre=lambda *args: args, post=lambda args, xformed, retval: retval, info=None):
+        import genjax_tpu.combinators as cmb
+
+        return cmb.dimap(pre=pre, post=post, info=info)(self)
+
+    def map(self, f, *, info=None):
+        import genjax_tpu.combinators as cmb
+
+        return cmb.map(f, info=info)(self)
+
+    def contramap(self, f, *, info=None):
+        import genjax_tpu.combinators as cmb
+
+        return cmb.contramap(f, info=info)(self)
+
+    def marginal(self, /, *, selection: Selection | None = None, algorithm=None):
+        from genjax_tpu.inference.sp import marginal
+
+        selection = Selection.all() if selection is None else selection
+        return marginal(selection=selection, algorithm=algorithm)(self)
+
+
+##########################################
+# Kwargs support / addressable closures  #
+##########################################
+
+
+@Pytree.dataclass
+class IgnoreKwargs(GenerativeFunction[R]):
+    """Adapter: GFI methods take `((args...), {kwargs...})` argument tuples
+    (reference `generative_function.py:1488-1554`)."""
+
+    wrapped: GenerativeFunction[R]
+
+    def handle_kwargs(self) -> GenerativeFunction[R]:
+        raise NotImplementedError
+
+    def __abstract_call__(self, *args):
+        (args_tuple, kwargs) = args
+        return self.wrapped.__abstract_call__(*args_tuple)
+
+    def simulate(self, key: PRNGKey, args: Arguments):
+        (args_tuple, _kwargs) = args
+        return self.wrapped.simulate(key, args_tuple)
+
+    def assess(self, sample: ChoiceMap, args: Arguments):
+        (args_tuple, _kwargs) = args
+        return self.wrapped.assess(sample, args_tuple)
+
+    def generate(self, key: PRNGKey, constraint: ChoiceMap, args: Arguments):
+        (args_tuple, _kwargs) = args
+        return self.wrapped.generate(key, constraint, args_tuple)
+
+    def project(self, key: PRNGKey, trace: Trace[R], selection: Selection):
+        return self.wrapped.project(key, trace, selection)
+
+    def edit(self, key, trace, edit_request, argdiffs):
+        (argdiffs_tuple, _kwargs) = argdiffs
+        return self.wrapped.edit(key, trace, edit_request, argdiffs_tuple)
+
+
+@Pytree.dataclass
+class GenerativeFunctionClosure(Generic[R], Pytree):
+    """The value of `gen_fn(*args)`: addressable via `@ "addr"` inside a
+    generative program; also callable as an ordinary sampler via a key."""
+
+    gen_fn: GenerativeFunction[R]
+    args: tuple
+    kwargs: dict = Pytree.field(default_factory=dict)
+
+    def get_gen_fn_with_args(self) -> tuple[GenerativeFunction[R], tuple]:
+        if self.kwargs:
+            return self.gen_fn.handle_kwargs(), (self.args, self.kwargs)
+        return self.gen_fn, self.args
+
+    def __matmul__(self, addr) -> R:
+        from genjax_tpu.lang.interop import trace
+
+        gen_fn, args = self.get_gen_fn_with_args()
+        return trace(addr, gen_fn, args)
+
+    # -- direct invocation sugar (reference `generative_function.py:1585-1640`)
+
+    def __call__(self, key: PRNGKey, *args) -> R:
+        full_args = (*self.args, *args)
+        if self.kwargs:
+            return self.gen_fn.handle_kwargs().simulate(
+                key, (full_args, self.kwargs)
+            ).get_retval()
+        return self.gen_fn.simulate(key, full_args).get_retval()
+
+    def __abstract_call__(self, *args) -> R:
+        full_args = (*self.args, *args)
+        return self.gen_fn.__abstract_call__(*full_args)
+
+
+##################
+# Update request #
+##################
+
+
+@Pytree.dataclass(match_args=True)
+class Update(PrimitiveEditRequest):
+    """Request: constrain addresses in `constraint`, reweight the rest.
+
+    The canonical Gen `update` move: new target = same generative function
+    with (possibly) changed args + constrained addresses. The backward
+    request is an `Update` holding the discarded choices.
+    """
+
+    constraint: ChoiceMap
