@@ -1,0 +1,29 @@
+"""Inference library: GenSP targets/algorithms, SMC, MCMC, VI."""
+
+from genjax_tpu.inference import mcmc, requests, smc
+from genjax_tpu.inference.sp import (
+    Algorithm,
+    Marginal,
+    SampleDistribution,
+    Target,
+    marginal,
+)
+
+try:
+    from genjax_tpu.inference import vi  # noqa: F401
+
+    _vi = ["vi"]
+except ImportError:  # pragma: no cover - before the ADEV layer lands
+    _vi = []
+
+__all__ = [
+    "Algorithm",
+    "Marginal",
+    "SampleDistribution",
+    "Target",
+    "marginal",
+    "mcmc",
+    "requests",
+    "smc",
+    *_vi,
+]

@@ -1,0 +1,103 @@
+"""MCMC drivers: Metropolis-Hastings acceptance wrapper and vectorized
+chain runners.
+
+The reference leaves accept/reject and chain loops to user code (its
+tests hand-roll MH loops, `tests/inference/test_requests.py:94-141`);
+this module packages them as first-class, `vmap`/`shard_map`-ready
+drivers — `mh` (one accept/reject step for any weight-returning edit
+request), `mh_chain` (a `lax.scan` chain), and `run_chains` (vectorized
+parallel chains, the BASELINE.md "8k chains" pattern).
+"""
+
+from typing import Any, Callable, TypeVar
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from genjax_tpu.core.concepts import EditRequest
+from genjax_tpu.core.diff import Diff
+from genjax_tpu.core.gfi import Trace
+from genjax_tpu.core.typing import PRNGKey
+
+R = TypeVar("R")
+
+
+def _log_accept_ratio(
+    key: PRNGKey, trace: Trace[R], proposed: Trace[R], request: EditRequest, w
+):
+    """Convert an edit weight into the MH log accept ratio.
+
+    For `Rejuvenate`/`HMC`/`MALA` the SMCP3 weight already *is* the accept
+    ratio. For `Regenerate(sel)`, the GFI weight is the full joint score
+    delta (reference semantics, `distribution.py:258-300`); the
+    prior-proposal terms at the regenerated addresses must be subtracted
+    to obtain the accept ratio (Gen/MH semantics):
+    `alpha = w - (project(new, sel) - project(old, sel))`.
+    """
+    from genjax_tpu.core.requests import Regenerate
+
+    if isinstance(request, Regenerate):
+        sel = request.selection
+        return w - (proposed.project(key, sel) - trace.project(key, sel))
+    return w
+
+
+def mh(
+    key: PRNGKey, trace: Trace[R], request: EditRequest
+) -> tuple[Trace[R], Any]:
+    """One Metropolis-Hastings step: apply `request` and accept/reject
+    with the exact MH ratio (see `_log_accept_ratio`).
+
+    Returns `(new_trace, accepted)`; realized with dense `where` selects
+    (both branches present, no control flow) — the TPU-native MH step.
+    """
+    k_move, k_accept = jax.random.split(key)
+    proposed, w, _, _ = request.edit(
+        k_move, trace, Diff.no_change(trace.get_args())
+    )
+    alpha = _log_accept_ratio(k_move, trace, proposed, request, w)
+    accept = jnp.log(jax.random.uniform(k_accept)) < alpha
+    new_trace = jtu.tree_map(
+        lambda a, b: jnp.where(accept, a, b), proposed, trace
+    )
+    return new_trace, accept
+
+
+def mh_chain(
+    key: PRNGKey,
+    trace: Trace[R],
+    request: EditRequest,
+    n_steps: int,
+    collect: Callable[[Trace[R]], Any] | None = None,
+) -> tuple[Trace[R], Any]:
+    """Run `n_steps` MH steps as a `lax.scan`; `collect(trace)` extracts
+    the per-step statistic recorded along the chain (defaults to the
+    acceptance flag only)."""
+
+    def step(carry, step_key):
+        trace = carry
+        new_trace, accepted = mh(step_key, trace, request)
+        out = collect(new_trace) if collect is not None else accepted
+        return new_trace, out
+
+    keys = jax.random.split(key, n_steps)
+    final_trace, outs = jax.lax.scan(step, trace, keys)
+    return final_trace, outs
+
+
+def run_chains(
+    key: PRNGKey,
+    traces: Trace[R],
+    request: EditRequest,
+    n_steps: int,
+    collect: Callable[[Trace[R]], Any] | None = None,
+):
+    """Vectorized MH over a batch of chains (traces with a leading chain
+    axis). Shard the chain axis with `genjax_tpu.parallel.chains` to run
+    across the device mesh."""
+    n_chains = jtu.tree_leaves(traces)[0].shape[0]
+    keys = jax.random.split(key, n_chains)
+    return jax.vmap(lambda k, tr: mh_chain(k, tr, request, n_steps, collect))(
+        keys, traces
+    )

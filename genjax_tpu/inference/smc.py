@@ -1,0 +1,499 @@
+"""Sequential Monte Carlo: particle collections, SIR (`Importance` /
+`ImportanceK`), target changes, and — beyond the reference — first-class
+resampling (multinomial / systematic / stratified / residual), effective
+sample size, and a step-wise SMC driver with rejuvenation.
+
+Capability parity with reference `_src/inference/smc.py:77-465`
+(`ParticleCollection`, `SMCAlgorithm` with `run_smc`/`run_csmc`,
+`Importance`, `ImportanceK`, `ChangeTarget`). The reference ships *no*
+resampling or SMC loop driver (SURVEY.md §2 C26) — tests do manual MH
+loops — so `resample`, `ess`, and `SMCDriver` here are new capability.
+
+TPU notes
+---------
+* A `ParticleCollection` is a dense pytree with a leading particle axis:
+  exactly the layout that `vmap` produces and that `shard_map` shards
+  over ICI (see `genjax_tpu.parallel` for the sharded version).
+* Systematic resampling lowers to a cumulative sum + `searchsorted`
+  (one pass, vectorized); the Pallas fused kernel lives in
+  `genjax_tpu.ops.resampling`.
+"""
+
+from typing import Any, Callable, Generic, TypeVar
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax.scipy.special import logsumexp
+
+from genjax_tpu.core.choice_map import ChoiceMap
+from genjax_tpu.core.concepts import Score, Weight
+from genjax_tpu.core.gfi import Trace
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.typing import BoolArray, FloatArray, IntArray, PRNGKey
+from genjax_tpu.inference.sp import Algorithm, SampleDistribution, Target
+
+R = TypeVar("R")
+
+
+def _stack_retained(arr1, arr2):
+    """Concatenate a retained particle onto a vmapped batch along axis 0."""
+    arr1 = jnp.asarray(arr1)
+    arr2 = jnp.asarray(arr2)
+    if arr1.ndim <= 1:
+        arr1 = arr1.reshape(-1, 1)
+    if arr2.ndim <= 1:
+        arr2 = arr2.reshape(-1, 1)
+    return jnp.squeeze(jnp.concatenate([arr1, arr2], axis=0))
+
+
+######################
+# Particle utilities #
+######################
+
+
+def ess(log_weights: FloatArray) -> FloatArray:
+    """Effective sample size of a log-weight vector:
+    `(sum w)^2 / sum w^2` computed stably in log space."""
+    lw = log_weights - logsumexp(log_weights)
+    return jnp.exp(-logsumexp(2.0 * lw))
+
+
+def multinomial_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArray:
+    """IID categorical ancestor sampling."""
+    logits = log_weights - logsumexp(log_weights)
+    return jax.random.categorical(key, logits, shape=(n,))
+
+
+def systematic_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArray:
+    """Systematic (low-variance) resampling: a single uniform offset strides
+    across the normalized CDF. One cumsum + one searchsorted — the optimal
+    dense lowering on TPU."""
+    w = jax.nn.softmax(log_weights)
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, ())
+    us = (u0 + jnp.arange(n, dtype=w.dtype)) / n
+    return jnp.clip(
+        jnp.searchsorted(cdf, us, side="right"), 0, log_weights.shape[0] - 1
+    )
+
+
+def stratified_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArray:
+    """Stratified resampling: one uniform per stratum."""
+    w = jax.nn.softmax(log_weights)
+    cdf = jnp.cumsum(w)
+    us = (jax.random.uniform(key, (n,)) + jnp.arange(n, dtype=w.dtype)) / n
+    return jnp.clip(
+        jnp.searchsorted(cdf, us, side="right"), 0, log_weights.shape[0] - 1
+    )
+
+
+def residual_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArray:
+    """Residual resampling: deterministic floor counts + multinomial
+    remainder, realized densely (no dynamic shapes) via a counting-sort
+    style expansion."""
+    w = jax.nn.softmax(log_weights)
+    scaled = n * w
+    floors = jnp.floor(scaled).astype(jnp.int32)
+    residual = scaled - floors
+    n_det = jnp.sum(floors)
+    # Dense deterministic ancestor expansion: index i repeated floors[i]
+    # times = searchsorted over cumulative floor counts.
+    cum = jnp.cumsum(floors)
+    positions = jnp.arange(n)
+    det_anc = jnp.searchsorted(cum, positions, side="right")
+    # Stochastic remainder: sample all n, use only where position >= n_det.
+    rem_logits = jnp.log(jnp.maximum(residual, 1e-38))
+    rem_anc = jax.random.categorical(key, rem_logits, shape=(n,))
+    anc = jnp.where(positions < n_det, det_anc, rem_anc)
+    return jnp.clip(anc, 0, log_weights.shape[0] - 1)
+
+
+RESAMPLERS: dict[str, Callable[[PRNGKey, FloatArray, int], IntArray]] = {
+    "multinomial": multinomial_resample,
+    "systematic": systematic_resample,
+    "stratified": stratified_resample,
+    "residual": residual_resample,
+}
+
+
+@Pytree.dataclass
+class ParticleCollection(Generic[R], Pytree):
+    """A weighted collection of particles (traces with a leading particle
+    axis) plus log importance weights."""
+
+    particles: Trace[R]
+    log_weights: FloatArray
+    is_valid: BoolArray
+
+    def get_particles(self) -> Trace[R]:
+        return self.particles
+
+    def get_particle(self, idx) -> Trace[R]:
+        return jtu.tree_map(lambda v: v[idx], self.particles)
+
+    def get_log_weights(self) -> FloatArray:
+        return self.log_weights
+
+    def get_log_marginal_likelihood_estimate(self) -> FloatArray:
+        return logsumexp(self.log_weights) - jnp.log(self.log_weights.shape[0])
+
+    def get_ess(self) -> FloatArray:
+        return ess(self.log_weights)
+
+    def __getitem__(self, idx):
+        return jtu.tree_map(lambda v: v[idx], (self.particles, self.log_weights))
+
+    def sample_particle(self, key: PRNGKey) -> Trace[R]:
+        logits = self.log_weights - logsumexp(self.log_weights)
+        idx = jax.random.categorical(key, logits)
+        return self.get_particle(idx)
+
+    def resample(
+        self, key: PRNGKey, method: str = "systematic"
+    ) -> "ParticleCollection[R]":
+        """Resample the collection to equal weights, preserving the mean
+        weight (so LML accumulation telescopes correctly)."""
+        n = self.log_weights.shape[0]
+        anc = RESAMPLERS[method](key, self.log_weights, n)
+        new_particles = jtu.tree_map(lambda v: v[anc], self.particles)
+        # After resampling, each particle carries the average weight.
+        avg_lw = logsumexp(self.log_weights) - jnp.log(n)
+        return ParticleCollection(
+            new_particles,
+            jnp.full((n,), avg_lw),
+            self.is_valid,
+        )
+
+
+#############
+# Algorithm #
+#############
+
+
+class SMCAlgorithm(Generic[R], Algorithm[R]):
+    """Abstract base for SMC algorithms (proper weighting over targets)."""
+
+    def get_num_particles(self) -> int:
+        raise NotImplementedError
+
+    def get_final_target(self) -> Target[R]:
+        raise NotImplementedError
+
+    def run_smc(self, key: PRNGKey) -> ParticleCollection[R]:
+        raise NotImplementedError
+
+    def run_csmc(self, key: PRNGKey, retained: ChoiceMap) -> ParticleCollection[R]:
+        raise NotImplementedError
+
+    def log_marginal_likelihood_estimate(
+        self, key: PRNGKey, target: Target[R] | None = None
+    ):
+        algorithm = ChangeTarget(self, target) if target else self
+        key, sub_key = jax.random.split(key)
+        return algorithm.run_smc(sub_key).get_log_marginal_likelihood_estimate()
+
+    def random_weighted(self, key: PRNGKey, *args) -> tuple[Score, ChoiceMap]:
+        target: Target[R] = args[0]
+        algorithm = ChangeTarget(self, target)
+        key, sub_key = jax.random.split(key)
+        collection = algorithm.run_smc(key)
+        particle = collection.sample_particle(sub_key)
+        log_density_estimate = (
+            particle.get_score() - collection.get_log_marginal_likelihood_estimate()
+        )
+        chm = target.filter_to_unconstrained(particle.get_choices())
+        return log_density_estimate, chm
+
+    def estimate_logpdf(self, key: PRNGKey, v: ChoiceMap, *args) -> Score:
+        """Unbiased posterior-density estimate at `v` via conditional SMC:
+        `log p-hat(v) = score(retained) - LML-hat`, using the *retained*
+        particle (run_csmc places it at index K-1).
+
+        (The reference samples a fresh particle here, `smc.py:186-200`,
+        which is biased whenever other particles carry different scores;
+        the retained-particle estimator satisfies `E[p-hat] = p(v | c)`
+        by the standard CSMC harmonic identity.)
+        """
+        target: Target[R] = args[0]
+        algorithm = ChangeTarget(self, target)
+        key, sub_key = jax.random.split(key)
+        collection = algorithm.run_csmc(key, v)
+        particle = collection.get_particle(self.get_num_particles() - 1)
+        return (
+            particle.get_score() - collection.get_log_marginal_likelihood_estimate()
+        )
+
+    def estimate_normalizing_constant(
+        self, key: PRNGKey, target: Target[R]
+    ) -> FloatArray:
+        algorithm = ChangeTarget(self, target)
+        key, sub_key = jax.random.split(key)
+        return algorithm.run_smc(sub_key).get_log_marginal_likelihood_estimate()
+
+    def estimate_reciprocal_normalizing_constant(
+        self, key: PRNGKey, target: Target[R], latent_choices: ChoiceMap, w: Weight
+    ) -> FloatArray:
+        algorithm = ChangeTarget(self, target)
+        return algorithm.run_csmc_for_normalizing_constant(key, latent_choices, w)
+
+
+@Pytree.dataclass
+class Importance(Generic[R], SMCAlgorithm[R]):
+    """One-particle importance sampling from `target`, optionally through a
+    custom proposal `q` (a `SampleDistribution` over a subset of the
+    unconstrained addresses)."""
+
+    target: Target[R]
+    q: SampleDistribution | None = Pytree.field(default=None)
+
+    def get_num_particles(self):
+        return 1
+
+    def get_final_target(self):
+        return self.target
+
+    def run_smc(self, key: PRNGKey):
+        key, sub_key = jax.random.split(key)
+        if self.q is not None:
+            log_weight, choice = self.q.random_weighted(sub_key, self.target)
+            tr, target_score = self.target.importance(key, choice)
+        else:
+            log_weight = 0.0
+            tr, target_score = self.target.importance(key, ChoiceMap.empty())
+        return ParticleCollection(
+            jtu.tree_map(lambda v: jnp.expand_dims(v, axis=0), tr),
+            jnp.array([target_score - log_weight]),
+            jnp.array(True),
+        )
+
+    def run_csmc(self, key: PRNGKey, retained: ChoiceMap):
+        key, sub_key = jax.random.split(key)
+        if self.q:
+            q_score = self.q.estimate_logpdf(sub_key, retained, self.target)
+        else:
+            q_score = 0.0
+        target_trace, target_score = self.target.importance(key, retained)
+        return ParticleCollection(
+            jtu.tree_map(lambda v: jnp.expand_dims(v, axis=0), target_trace),
+            jnp.array([target_score - q_score]),
+            jnp.array(True),
+        )
+
+
+@Pytree.dataclass
+class ImportanceK(Generic[R], SMCAlgorithm[R]):
+    """K-particle sampling importance resampling (SIR) from `target`."""
+
+    target: Target[R]
+    q: SampleDistribution | None = Pytree.field(default=None)
+    k_particles: int = Pytree.static(default=2)
+
+    def get_num_particles(self):
+        return self.k_particles
+
+    def get_final_target(self):
+        return self.target
+
+    def run_smc(self, key: PRNGKey):
+        key, sub_key = jax.random.split(key)
+        sub_keys = jax.random.split(sub_key, self.k_particles)
+        if self.q is not None:
+            log_weights, choices = jax.vmap(self.q.random_weighted, in_axes=(0, None))(
+                sub_keys, self.target
+            )
+            trs, target_scores = jax.vmap(self.target.importance)(sub_keys, choices)
+        else:
+            log_weights = 0.0
+            trs, target_scores = jax.vmap(self.target.importance, in_axes=(0, None))(
+                sub_keys, ChoiceMap.empty()
+            )
+        return ParticleCollection(
+            trs, target_scores - log_weights, jnp.array(True)
+        )
+
+    def run_csmc(self, key: PRNGKey, retained: ChoiceMap):
+        key, sub_key = jax.random.split(key)
+        sub_keys = jax.random.split(sub_key, self.k_particles - 1)
+        if self.q:
+            log_scores, choices = jax.vmap(self.q.random_weighted, in_axes=(0, None))(
+                sub_keys, self.target
+            )
+            retained_score = self.q.estimate_logpdf(key, retained, self.target)
+            stacked_choices = jtu.tree_map(_stack_retained, choices, retained)
+            stacked_scores = jtu.tree_map(_stack_retained, log_scores, retained_score)
+            all_keys = jax.random.split(key, self.k_particles)
+            target_traces, target_scores = jax.vmap(self.target.importance)(
+                all_keys, stacked_choices
+            )
+        else:
+            other_traces, other_scores = jax.vmap(
+                self.target.importance, in_axes=(0, None)
+            )(sub_keys, ChoiceMap.empty())
+            retained_trace, retained_score = self.target.importance(key, retained)
+            target_scores = _stack_retained(other_scores, retained_score)
+            stacked_scores = 0.0
+            target_traces = jtu.tree_map(_stack_retained, other_traces, retained_trace)
+        return ParticleCollection(
+            target_traces, target_scores - stacked_scores, jnp.array(True)
+        )
+
+
+@Pytree.dataclass
+class ChangeTarget(Generic[R], SMCAlgorithm[R]):
+    """Reweight an existing collection to a new target (shared latents)."""
+
+    prev: SMCAlgorithm[R]
+    target: Target[R]
+
+    def get_num_particles(self):
+        return self.prev.get_num_particles()
+
+    def get_final_target(self):
+        return self.target
+
+    def _reweight_collection(
+        self, key: PRNGKey, collection: ParticleCollection[R]
+    ) -> ParticleCollection[R]:
+        def _reweight(key, particle, weight):
+            latents = self.prev.get_final_target().filter_to_unconstrained(
+                particle.get_choices()
+            )
+            new_trace, new_weight = self.target.importance(key, latents)
+            this_weight = new_weight - particle.get_score() + weight
+            return (new_trace, this_weight)
+
+        sub_keys = jax.random.split(key, self.get_num_particles())
+        new_particles, new_weights = jax.vmap(_reweight)(
+            sub_keys, collection.get_particles(), collection.get_log_weights()
+        )
+        return ParticleCollection(new_particles, new_weights, jnp.array(True))
+
+    def run_smc(self, key: PRNGKey) -> ParticleCollection[R]:
+        collection = self.prev.run_smc(key)
+        return self._reweight_collection(key, collection)
+
+    def run_csmc(self, key: PRNGKey, retained: ChoiceMap) -> ParticleCollection[R]:
+        collection = self.prev.run_csmc(key, retained)
+        return self._reweight_collection(key, collection)
+
+    def run_csmc_for_normalizing_constant(
+        self, key: PRNGKey, latent_choices: ChoiceMap, w: Weight
+    ) -> Weight:
+        """Low-variance reciprocal normalizing constant estimation for
+        variational objectives (reference `smc.py:432-465`)."""
+        collection = self.prev.run_csmc(key, latent_choices)
+
+        def _reweight(key, particle, weight):
+            latents = self.prev.get_final_target().filter_to_unconstrained(
+                particle.get_choices()
+            )
+            new_trace, new_score = self.target.importance(key, latents)
+            this_weight = new_score - particle.get_score() + weight
+            return this_weight
+
+        sub_keys = jax.random.split(key, self.get_num_particles())
+        new_weights = jax.vmap(_reweight)(
+            sub_keys, collection.get_particles(), collection.get_log_weights()
+        )
+        # Average the reweighted collection against the retained sample's
+        # contribution `w`.
+        total = logsumexp(new_weights) - jnp.log(self.get_num_particles())
+        return w - total
+
+
+##################################################
+# Step-wise SMC driver with resampling (new)     #
+##################################################
+
+
+@Pytree.dataclass
+class SMCDriver(Generic[R], Pytree):
+    """A step-wise SMC loop: initialize from a target, then advance through
+    a sequence of targets with resampling (adaptive by ESS threshold) and
+    optional rejuvenation moves.
+
+    This is new capability relative to the reference (which ships SIR/CSMC
+    only); it composes the same proper-weighting ingredients.
+    """
+
+    n_particles: int = Pytree.static()
+    resampling: str = Pytree.static(default="systematic")
+    ess_threshold: float = Pytree.static(default=0.5)
+
+    def init(self, key: PRNGKey, target: Target[R]) -> ParticleCollection[R]:
+        """Initialize the collection by importance sampling the target."""
+        sub_keys = jax.random.split(key, self.n_particles)
+        trs, ws = jax.vmap(target.importance, in_axes=(0, None))(
+            sub_keys, ChoiceMap.empty()
+        )
+        return ParticleCollection(trs, ws, jnp.array(True))
+
+    def maybe_resample(
+        self, key: PRNGKey, collection: ParticleCollection[R]
+    ) -> ParticleCollection[R]:
+        """Resample if ESS drops below `ess_threshold * n_particles`,
+        realized densely with `tree_choose`-style selects (no cond)."""
+        do = collection.get_ess() < self.ess_threshold * self.n_particles
+        resampled = collection.resample(key, self.resampling)
+        return jtu.tree_map(
+            lambda a, b: jnp.where(do, a, b), resampled, collection
+        )
+
+    def extend(
+        self,
+        key: PRNGKey,
+        collection: ParticleCollection[R],
+        constraint: ChoiceMap,
+        argdiffs: tuple | None = None,
+    ) -> ParticleCollection[R]:
+        """Advance each particle by constraining new observations via the
+        `update` edit; weights accumulate the incremental importance
+        weights."""
+        from genjax_tpu.core.diff import Diff
+
+        sub_keys = jax.random.split(key, self.n_particles)
+        # The SMCP3 weight for *observing* previously-latent addresses is
+        # the observation density p(obs | rest): `update` returns the
+        # replace ratio p(new)/p(old), so the discarded choices' old score
+        # (recovered via `project` on the constraint's selection) is added
+        # back — the L kernel regenerates them from the internal proposal.
+        sel = constraint.get_selection()
+
+        def _extend(key, particle):
+            ad = (
+                Diff.no_change(particle.get_args()) if argdiffs is None else argdiffs
+            )
+            discarded_score = particle.project(key, sel)
+            new_tr, w, _, _ = particle.get_gen_fn().update(
+                key, particle, constraint, ad
+            )
+            return new_tr, w + discarded_score
+
+        new_particles, ws = jax.vmap(_extend)(sub_keys, collection.get_particles())
+        return ParticleCollection(
+            new_particles, collection.get_log_weights() + ws, collection.is_valid
+        )
+
+    def rejuvenate(
+        self,
+        key: PRNGKey,
+        collection: ParticleCollection[R],
+        request,
+    ) -> ParticleCollection[R]:
+        """Apply an MH-style edit request to every particle with
+        accept/reject (weight-preserving rejuvenation)."""
+        from genjax_tpu.core.diff import Diff
+
+        from genjax_tpu.inference.mcmc import mh
+
+        sub_keys = jax.random.split(key, self.n_particles)
+
+        def _move(key, particle):
+            new_tr, _accepted = mh(key, particle, request)
+            return new_tr
+
+        new_particles = jax.vmap(_move)(sub_keys, collection.get_particles())
+        return ParticleCollection(
+            new_particles, collection.get_log_weights(), collection.is_valid
+        )
