@@ -88,7 +88,12 @@ class Marginal(Generic[R], SampleDistribution):
         choices = tr.get_choices()
         latent_choices = choices.filter(self.selection)
         key, sub_key = jax.random.split(key)
-        weight = tr.project(sub_key, ~self.selection)
+        # Unbiased density estimate of the marginal at the selected
+        # choices: full score minus the marginalized addresses' internal-
+        # proposal density. (With `selection = all` this is exactly the
+        # trace score — required for e.g. ELBO guides to carry their
+        # entropy term.)
+        weight = tr.get_score() - tr.project(sub_key, ~self.selection)
         if self.algorithm is None:
             return weight, latent_choices
         target = Target(self.gen_fn, args, latent_choices)
