@@ -1,0 +1,156 @@
+"""Benchmark driver: SIR particles/sec/chip at K=1M (BASELINE.json).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+`vs_baseline`: the reference publishes no numbers (BASELINE.md), so the
+baseline is a hand-written pure-JAX implementation of the identical SIR
+computation (speed-of-light for this workload on this chip).
+`vs_baseline = framework_throughput / handwritten_throughput` — 1.0 means
+the framework adds zero overhead over hand-written JAX.
+
+Secondary diagnostics (SSM particle filter, HMC chains) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+K = 1_000_000
+ITERS = 20
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def _force(out):
+    """Force completion via a host transfer of one leaf.
+
+    (`block_until_ready` does not reliably wait on the tunneled axon
+    backend; a scalar `np.asarray` round-trip does.)"""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf))
+
+
+def timeit(fn, *args, iters=ITERS):
+    _force(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        _force(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def framework_sir():
+    """SIR at K=1M through the full framework GFI path; ITERS sweeps are
+    scanned inside one jit so device throughput (not dispatch) is
+    measured."""
+    import genjax_tpu as g
+    from genjax_tpu import ChoiceMap
+    from genjax_tpu.models.beta_bernoulli import beta_bernoulli
+
+    constraint = ChoiceMap.d({"v": True})
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        keys = jax.random.split(k1, K)
+        trs, ws = jax.vmap(beta_bernoulli.importance, in_axes=(0, None, None))(
+            keys, constraint, (2.0, 2.0)
+        )
+        lml = logsumexp(ws) - jnp.log(float(K))
+        idx = jax.random.categorical(k2, ws - logsumexp(ws))
+        return lml, trs.get_choices()["p"][idx]
+
+    @jax.jit
+    def run(keys):
+        return jax.lax.scan(lambda c, k: (c, one(k)), None, keys)[1]
+
+    return run
+
+
+def handwritten_sir():
+    """The identical computation, hand-written in raw JAX."""
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        pkeys = jax.random.split(k1, K)
+        p = jax.vmap(lambda kk: jax.random.beta(kk, 2.0, 2.0))(pkeys)
+        ws = jnp.log(p)  # log p(v=True | p)
+        lml = logsumexp(ws) - jnp.log(float(K))
+        idx = jax.random.categorical(k2, ws - logsumexp(ws))
+        return lml, p[idx]
+
+    @jax.jit
+    def run(keys):
+        return jax.lax.scan(lambda c, k: (c, one(k)), None, keys)[1]
+
+    return run
+
+
+def main():
+    key = jax.random.key(0)
+    backend = jax.default_backend()
+    log(f"backend: {backend}, device: {jax.devices()[0]}")
+
+    fw = framework_sir()
+    hw = handwritten_sir()
+    iter_keys = jax.random.split(key, ITERS)
+
+    t_fw = timeit(fw, iter_keys, iters=3) / ITERS
+    t_hw = timeit(hw, iter_keys, iters=3) / ITERS
+    pps_fw = K / t_fw
+    pps_hw = K / t_hw
+    log(f"framework SIR @1M:   {t_fw*1e3:.2f} ms/iter = {pps_fw/1e6:.1f}M particles/s")
+    log(f"handwritten SIR @1M: {t_hw*1e3:.2f} ms/iter = {pps_hw/1e6:.1f}M particles/s")
+
+    # Secondary diagnostics (stderr only).
+    try:
+        from genjax_tpu.models.ssm import run_bootstrap_filter, simulate_ssm_data
+
+        _, ys = simulate_ssm_data(jax.random.key(1), 50)
+        pf = jax.jit(lambda k: run_bootstrap_filter(k, ys, n_particles=10_000)[0])
+        t_pf = timeit(pf, jax.random.key(2), iters=5)
+        log(
+            f"SSM bootstrap PF (T=50, 10k particles, systematic): "
+            f"{t_pf*1e3:.2f} ms = {50*10_000/t_pf/1e6:.1f}M particle-steps/s"
+        )
+    except Exception as e:  # pragma: no cover
+        log("PF diagnostic failed:", e)
+
+    try:
+        from genjax_tpu.models.logreg import run_hmc_chains, simulate_logreg_data
+
+        X, yo, _ = simulate_logreg_data(jax.random.key(3), 256, 16)
+        hmc = jax.jit(
+            lambda k: run_hmc_chains(
+                k, X, yo, n_chains=8192, n_steps=10, eps=0.02, L=5
+            )[0]
+        )
+        t_hmc = timeit(hmc, jax.random.key(4), iters=3)
+        steps_per_s = 8192 * 10 / t_hmc
+        log(
+            f"HMC 8192 chains x 10 steps (N=256, D=16, L=5): "
+            f"{t_hmc*1e3:.2f} ms = {steps_per_s/1e6:.2f}M chain-steps/s"
+        )
+    except Exception as e:  # pragma: no cover
+        log("HMC diagnostic failed:", e)
+
+    print(
+        json.dumps({
+            "metric": "SIR particles/sec/chip at K=1M",
+            "value": round(pps_fw, 1),
+            "unit": "particles/s",
+            "vs_baseline": round(pps_fw / pps_hw, 4),
+        })
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Bootstrap particle filter for state-space models built from the GFI.
+
+New capability relative to the reference (which ships no step-wise SMC
+driver, SURVEY.md §2 C26): a `lax.scan`-over-time particle filter whose
+per-step transition/observation model is any generative function of
+signature `(z_prev, t) -> step trace` with an observation address.
+
+TPU design: particles are a dense `(K, ...)` state pytree; each step is
+`vmap(step_model.importance)` (one fused density evaluation per particle)
+followed by systematic resampling (cumsum + searchsorted, or the Pallas
+kernel `genjax_tpu.ops.systematic_ancestors_kernel` on TPU).
+"""
+
+from typing import Any, Callable, TypeVar
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax.scipy.special import logsumexp
+
+from genjax_tpu.core.choice_map import ChoiceMap
+from genjax_tpu.core.gfi import GenerativeFunction
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.typing import FloatArray, PRNGKey
+from genjax_tpu.inference.smc import RESAMPLERS
+
+R = TypeVar("R")
+
+
+@Pytree.dataclass
+class BootstrapFilter(Pytree):
+    """Particle filter over a generative step model.
+
+    `step_model(z_prev, t)` must trace the new latent state (returned as
+    the step's return value) and the observation at address `obs_addr`.
+    `init_model(t=0 args)` traces the initial state similarly.
+    """
+
+    step_model: GenerativeFunction[Any]
+    init_model: GenerativeFunction[Any]
+    n_particles: int = Pytree.static()
+    obs_addr: str = Pytree.static(default="y")
+    resampling: str = Pytree.static(default="systematic")
+
+    def run(
+        self, key: PRNGKey, observations: Any
+    ) -> tuple[FloatArray, Any]:
+        """Filter the observation sequence; returns (log marginal
+        likelihood estimate, final particle states)."""
+        k_init, k_steps = jax.random.split(key)
+        n = self.n_particles
+        resampler = RESAMPLERS[self.resampling]
+
+        obs0 = jtu.tree_map(lambda v: v[0], observations)
+        init_keys = jax.random.split(k_init, n)
+        init_trs, init_ws = jax.vmap(
+            lambda k: self.init_model.importance(
+                k, ChoiceMap.kw(**{self.obs_addr: obs0}), ()
+            )
+        )(init_keys)
+        z = init_trs.get_retval()
+        lml0 = logsumexp(init_ws) - jnp.log(float(n))
+        # Resample to uniform weights before the first transition.
+        k_init_res = jax.random.fold_in(k_init, 1)
+        anc0 = resampler(k_init_res, init_ws, n)
+        z = jtu.tree_map(lambda v: v[anc0], z)
+
+        def step(carry, inp):
+            z, lml, t = carry
+            key, obs_t = inp
+            k_prop, k_res = jax.random.split(key)
+            prop_keys = jax.random.split(k_prop, n)
+            trs, ws = jax.vmap(
+                lambda k, z_i: self.step_model.importance(
+                    k, ChoiceMap.kw(**{self.obs_addr: obs_t}), (z_i, t)
+                )
+            )(prop_keys, z)
+            z_new = trs.get_retval()
+            lml = lml + logsumexp(ws) - jnp.log(float(n))
+            anc = resampler(k_res, ws, n)
+            z_new = jtu.tree_map(lambda v: v[anc], z_new)
+            return (z_new, lml, t + 1), None
+
+        T = jtu.tree_leaves(observations)[0].shape[0]
+        step_keys = jax.random.split(k_steps, T - 1)
+        rest_obs = jtu.tree_map(lambda v: v[1:], observations)
+        (z_final, lml, _), _ = jax.lax.scan(
+            step, (z, lml0, 1), (step_keys, rest_obs)
+        )
+        return lml, z_final

@@ -1,0 +1,23 @@
+"""Benchmark model zoo (the BASELINE.md configs)."""
+
+from genjax_tpu.models.beta_bernoulli import beta_bernoulli, run_sir
+from genjax_tpu.models.polyreg import polynomial_regression, run_is_mh
+from genjax_tpu.models.ssm import (
+    make_ssm_models,
+    run_bootstrap_filter,
+    simulate_ssm_data,
+)
+from genjax_tpu.models.logreg import logistic_regression, run_hmc_chains, run_mala_chains
+
+__all__ = [
+    "beta_bernoulli",
+    "logistic_regression",
+    "make_ssm_models",
+    "polynomial_regression",
+    "run_bootstrap_filter",
+    "run_hmc_chains",
+    "run_is_mh",
+    "run_mala_chains",
+    "run_sir",
+    "simulate_ssm_data",
+]

@@ -1,0 +1,60 @@
+"""Benchmark config 4: Bayesian logistic regression — HMC/MALA over
+thousands of vectorized parallel chains.
+
+The per-chain density is dominated by the `X @ w` matvec; vmapped over
+chains it becomes a `(chains, D) @ (D, N)` matmul — MXU work, exactly
+where TPU FLOPs should go.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from genjax_tpu import ChoiceMap, Selection, flip, gen, mv_normal_diag
+from genjax_tpu.inference.mcmc import run_chains
+from genjax_tpu.inference.requests import HMC, MALA
+
+
+@gen
+def logistic_regression(X):
+    d = X.shape[-1]
+    w = mv_normal_diag(jnp.zeros(d), jnp.ones(d)) @ "w"
+    logits = X @ w
+    _ = flip(jax.nn.sigmoid(logits)) @ "ys"
+    return logits
+
+
+def simulate_logreg_data(key, n: int, d: int):
+    kx, kw, ky = jax.random.split(key, 3)
+    X = jax.random.normal(kx, (n, d))
+    w_true = jax.random.normal(kw, (d,))
+    ys = jax.random.bernoulli(ky, jax.nn.sigmoid(X @ w_true))
+    return X, ys, w_true
+
+
+def _init_chains(key, X, ys, n_chains):
+    keys = jax.random.split(key, n_chains)
+    trs, _ = jax.vmap(
+        lambda k: logistic_regression.importance(k, ChoiceMap.kw(ys=ys), (X,))
+    )(keys)
+    return trs
+
+
+def run_hmc_chains(
+    key, X, ys, n_chains: int = 8192, n_steps: int = 100, eps: float = 0.05, L: int = 10
+):
+    """Vectorized HMC: returns (final w draws, acceptance mask history)."""
+    k_init, k_run = jax.random.split(key)
+    trs = _init_chains(k_init, X, ys, n_chains)
+    request = HMC(Selection.at["w"], jnp.asarray(eps), L=L)
+    finals, accs = run_chains(k_run, trs, request, n_steps)
+    return finals.get_choices()["w"], accs
+
+
+def run_mala_chains(
+    key, X, ys, n_chains: int = 8192, n_steps: int = 100, eps: float = 0.01
+):
+    k_init, k_run = jax.random.split(key)
+    trs = _init_chains(k_init, X, ys, n_chains)
+    request = MALA(Selection.at["w"], jnp.asarray(eps))
+    finals, accs = run_chains(k_run, trs, request, n_steps)
+    return finals.get_choices()["w"], accs

@@ -1,0 +1,26 @@
+"""Multi-chip scaling: particle/chain axes sharded over a device mesh.
+
+The reference is single-host single-device (SURVEY.md §2.2: vmap/scan/jit
+only). This package is new TPU-native capability: named meshes, sharded
+particle collections with `psum`-based weight reductions, distributed
+systematic resampling over ICI, and sharded MCMC chain execution.
+"""
+
+from genjax_tpu.parallel.mesh import particle_mesh, shard_leading_axis
+from genjax_tpu.parallel.smc import (
+    ShardedSMC,
+    sharded_ess,
+    sharded_lml,
+    sharded_systematic_ancestors,
+)
+from genjax_tpu.parallel.chains import sharded_mh_chains
+
+__all__ = [
+    "ShardedSMC",
+    "particle_mesh",
+    "shard_leading_axis",
+    "sharded_ess",
+    "sharded_lml",
+    "sharded_mh_chains",
+    "sharded_systematic_ancestors",
+]

@@ -1,0 +1,211 @@
+"""Sharded SMC: the particle axis spans the device mesh.
+
+Design (new relative to the single-device reference; see SURVEY.md §2.2):
+
+* Particle state is a dense pytree whose leading axis is sharded over the
+  mesh (`NamedSharding` over ICI).
+* Weight reductions (LML, ESS, normalization) run inside `shard_map` as
+  per-shard partial reductions + `psum` — one scalar collective each.
+* Systematic resampling: log-weights are tiny relative to particle state,
+  so shards `all_gather` the weight vector (K * 4 bytes over ICI),
+  compute their own slots' ancestors locally (cumsum + searchsorted), and
+  the particle gather itself is expressed as a global take — XLA's SPMD
+  partitioner lowers it to the minimal cross-shard collective. Ancestors
+  of systematic resampling are nearly sorted, so most rows resolve to
+  local copies.
+"""
+
+from functools import partial
+from typing import Any, Generic, TypeVar
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax.scipy.special import logsumexp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from genjax_tpu.core.choice_map import ChoiceMap
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.typing import FloatArray, IntArray, PRNGKey
+from genjax_tpu.inference.smc import ParticleCollection
+from genjax_tpu.inference.sp import Target
+from genjax_tpu.parallel.mesh import constrain_leading_axis
+
+R = TypeVar("R")
+
+
+def sharded_lml(log_weights: FloatArray, mesh: Mesh, axis: str = "particles"):
+    """Log marginal likelihood estimate with a psum-based stable
+    logsumexp: per-shard max + psum of shifted sums over ICI."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(),
+    )
+    def _lml(lw):
+        local_max = jnp.max(lw)
+        global_max = jax.lax.pmax(local_max, axis)
+        local_sum = jnp.sum(jnp.exp(lw - global_max))
+        total = jax.lax.psum(local_sum, axis)
+        n = jax.lax.psum(jnp.asarray(lw.shape[0], jnp.float32), axis)
+        return global_max + jnp.log(total) - jnp.log(n)
+
+    return _lml(log_weights)
+
+
+def sharded_ess(log_weights: FloatArray, mesh: Mesh, axis: str = "particles"):
+    """Effective sample size over a sharded weight vector."""
+
+    @partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
+    def _ess(lw):
+        local_max = jnp.max(lw)
+        m = jax.lax.pmax(local_max, axis)
+        s1 = jax.lax.psum(jnp.sum(jnp.exp(lw - m)), axis)
+        s2 = jax.lax.psum(jnp.sum(jnp.exp(2.0 * (lw - m))), axis)
+        return s1 * s1 / s2
+
+    return _ess(log_weights)
+
+
+def sharded_systematic_ancestors(
+    key: PRNGKey, log_weights: FloatArray, mesh: Mesh, axis: str = "particles"
+) -> IntArray:
+    """Distributed systematic resampling: each shard computes the global
+    ancestor indices for its own output slots.
+
+    Weights are all-gathered (K floats over ICI — negligible next to the
+    particle state); the stride offset is shared (same key on all shards).
+    Returns a sharded vector of global ancestor indices.
+    """
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis))
+    def _anc(key, lw_local):
+        lw = jax.lax.all_gather(lw_local, axis, tiled=True)
+        n = lw.shape[0]
+        w = jax.nn.softmax(lw)
+        cdf = jnp.cumsum(w)
+        shard = jax.lax.axis_index(axis)
+        per_shard = lw_local.shape[0]
+        u0 = jax.random.uniform(key, ())
+        slots = shard * per_shard + jnp.arange(per_shard)
+        us = (u0 + slots.astype(w.dtype)) / n
+        return jnp.clip(jnp.searchsorted(cdf, us, side="right"), 0, n - 1)
+
+    return _anc(key, log_weights)
+
+
+@Pytree.dataclass
+class ShardedSMC(Generic[R], Pytree):
+    """SMC driver whose particle axis is sharded over a device mesh.
+
+    Composes with the single-device `SMCDriver` semantics: `init`,
+    `extend`, `maybe_resample`, `rejuvenate`, with the particle axis laid
+    out over ICI and reductions as collectives. Use under `jax.jit` —
+    XLA's SPMD partitioner inserts the remaining data movement (e.g. the
+    cross-shard particle gather in resampling).
+    """
+
+    n_particles: int = Pytree.static()
+    mesh: Mesh = Pytree.static()
+    axis: str = Pytree.static(default="particles")
+    resampling: str = Pytree.static(default="systematic")
+    ess_threshold: float = Pytree.static(default=0.5)
+
+    def _constrain(self, tree):
+        return constrain_leading_axis(tree, self.mesh, self.axis)
+
+    def init(self, key: PRNGKey, target: Target[R]) -> ParticleCollection[R]:
+        sub_keys = jax.random.split(key, self.n_particles)
+        sub_keys = jax.lax.with_sharding_constraint(
+            sub_keys, NamedSharding(self.mesh, P(self.axis))
+        )
+        trs, ws = jax.vmap(target.importance, in_axes=(0, None))(
+            sub_keys, ChoiceMap.empty()
+        )
+        return ParticleCollection(
+            self._constrain(trs), self._constrain(ws), jnp.array(True)
+        )
+
+    def lml(self, collection: ParticleCollection[R]) -> FloatArray:
+        return sharded_lml(collection.get_log_weights(), self.mesh, self.axis)
+
+    def ess(self, collection: ParticleCollection[R]) -> FloatArray:
+        return sharded_ess(collection.get_log_weights(), self.mesh, self.axis)
+
+    def extend(
+        self,
+        key: PRNGKey,
+        collection: ParticleCollection[R],
+        constraint: ChoiceMap,
+        argdiffs: tuple | None = None,
+    ) -> ParticleCollection[R]:
+        from genjax_tpu.core.diff import Diff
+
+        sub_keys = jax.random.split(key, self.n_particles)
+        sel = constraint.get_selection()
+
+        def _extend(key, particle):
+            ad = (
+                Diff.no_change(particle.get_args()) if argdiffs is None else argdiffs
+            )
+            discarded = particle.project(key, sel)
+            new_tr, w, _, _ = particle.get_gen_fn().update(key, particle, constraint, ad)
+            return new_tr, w + discarded
+
+        new_particles, ws = jax.vmap(_extend)(sub_keys, collection.get_particles())
+        return ParticleCollection(
+            self._constrain(new_particles),
+            self._constrain(collection.get_log_weights() + ws),
+            collection.is_valid,
+        )
+
+    def resample(
+        self, key: PRNGKey, collection: ParticleCollection[R]
+    ) -> ParticleCollection[R]:
+        anc = sharded_systematic_ancestors(
+            key, collection.get_log_weights(), self.mesh, self.axis
+        )
+        # Global take: XLA partitions this into the minimal cross-shard
+        # exchange (systematic ancestors are near-sorted, so most rows
+        # stay shard-local).
+        new_particles = jtu.tree_map(
+            lambda v: jnp.take(v, anc, axis=0), collection.get_particles()
+        )
+        avg_lw = self.lml(collection)
+        n = self.n_particles
+        return ParticleCollection(
+            self._constrain(new_particles),
+            self._constrain(jnp.full((n,), avg_lw)),
+            collection.is_valid,
+        )
+
+    def maybe_resample(
+        self, key: PRNGKey, collection: ParticleCollection[R]
+    ) -> ParticleCollection[R]:
+        do = self.ess(collection) < self.ess_threshold * self.n_particles
+        resampled = self.resample(key, collection)
+        return jtu.tree_map(lambda a, b: jnp.where(do, a, b), resampled, collection)
+
+    def rejuvenate(
+        self, key: PRNGKey, collection: ParticleCollection[R], request
+    ) -> ParticleCollection[R]:
+        from genjax_tpu.inference.mcmc import mh
+
+        sub_keys = jax.random.split(key, self.n_particles)
+        sub_keys = jax.lax.with_sharding_constraint(
+            sub_keys, NamedSharding(self.mesh, P(self.axis))
+        )
+
+        def _move(key, particle):
+            new_tr, _ = mh(key, particle, request)
+            return new_tr
+
+        new_particles = jax.vmap(_move)(sub_keys, collection.get_particles())
+        return ParticleCollection(
+            self._constrain(new_particles),
+            collection.get_log_weights(),
+            collection.is_valid,
+        )
