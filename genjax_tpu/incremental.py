@@ -1,0 +1,5 @@
+"""Incremental computation facade (reference `genjax.incremental`)."""
+
+from genjax_tpu.core.diff import ChangeTangent, Diff, NoChange, UnknownChange
+
+__all__ = ["ChangeTangent", "Diff", "NoChange", "UnknownChange"]
