@@ -686,10 +686,12 @@ def _power_spherical_logpdf(v, mean_direction, concentration):
     kappa = concentration
     alpha = (d - 1.0) / 2.0 + kappa
     bet = (d - 1.0) / 2.0
+    # N = 2^(a+b) * pi^b * Gamma(a) / Gamma(a+b)   (De Cao & Aziz 2020)
     log_norm = -(
         (alpha + bet) * jnp.log(2.0)
-        + betaln(alpha, bet)
         + bet * jnp.log(jnp.pi)
+        + gammaln(alpha)
+        - gammaln(alpha + bet)
     )
     return log_norm + kappa * jnp.log1p(jnp.sum(v * mean_direction, axis=-1))
 
