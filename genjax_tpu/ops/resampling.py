@@ -6,6 +6,13 @@ uniform offset, each output slot s needs the ancestor index
 in VMEM (K = 1M f32 -> 4 MiB, well within the ~16 MiB budget) and runs a
 vectorized bit-by-bit binary search over each output tile — one fused
 pass, no HBM re-reads per probe.
+
+Status: numerically validated in interpret mode; the current Mosaic
+release does not lower the kernel's arbitrary 2-D vector gather
+(`lowering.py _gather_lowering_rule` requires elementwise-form indices),
+so `systematic_ancestors` auto-falls back to the XLA
+`cumsum + searchsorted` lowering on TPU until the gather is rewritten in
+a supported form.
 """
 
 import jax
@@ -82,3 +89,12 @@ def systematic_ancestors_kernel(
         interpret=interpret,
     )(u0, cdf2)
     return out.reshape(-1)[:n]
+
+
+def systematic_ancestors(key: jax.Array, log_weights: jax.Array) -> jax.Array:
+    """Systematic resampling ancestors, dispatching to the best available
+    lowering (Pallas kernel where Mosaic supports it; XLA searchsorted
+    otherwise — see module docstring)."""
+    from genjax_tpu.inference.smc import systematic_resample
+
+    return systematic_resample(key, log_weights, log_weights.shape[0])
