@@ -1,0 +1,52 @@
+"""Cookbook: debugging tools — time travel, runtime checks, rendering."""
+
+import jax
+import jax.numpy as jnp
+
+import genjax_tpu as genjax
+from genjax_tpu import Mask, do_checkify, gen, normal
+from genjax_tpu.time_travel import rec, tag, time_machine
+
+
+def main():
+    # --- time-travel debugging of a deterministic computation ---
+    def compute(x):
+        a = rec(x * 2.0, "doubled")
+        b = tag(a + 1.0, "shifted")
+        return b**2
+
+    dbg = time_machine(compute)(3.0)
+    assert dbg.retval == 49.0
+    assert dbg.jump("doubled").current() == 6.0
+    remixed = dbg.remix(10.0)  # what if the doubled value had been 10?
+    assert remixed.retval == 121.0
+
+    # --- checkify: opt-in runtime validity checks ---
+    m = Mask(jnp.asarray(1.0), jnp.asarray(False))
+    # outside do_checkify, unmask is silent (fast path)
+    _ = m.unmask()
+    # with a default, always safe:
+    assert m.unmask(default=jnp.asarray(9.0)) == 9.0
+    with do_checkify():
+        from jax.experimental import checkify as jcheckify
+
+        def f():
+            return m.unmask()
+
+        err, _ = jcheckify.checkify(f)()
+        assert err.get() is not None  # invalid unmask detected
+
+    # --- rich rendering ---
+    @gen
+    def model():
+        return normal(0.0, 1.0) @ "x"
+
+    tr = model.simulate(jax.random.key(0), ())
+    html = tr.render_html()
+    assert isinstance(html, str) and len(html) > 0
+
+    print("debugging cookbook OK")
+
+
+if __name__ == "__main__":
+    main()

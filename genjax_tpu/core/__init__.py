@@ -22,7 +22,8 @@ from genjax_tpu.core.concepts import (
     Score,
     Weight,
 )
-from genjax_tpu.core.diff import Diff, NoChange, UnknownChange
+from genjax_tpu.core.diff import ChangeTangent, Diff, NoChange, UnknownChange, incremental
+from genjax_tpu.core.environment import Environment
 from genjax_tpu.core.gfi import (
     GenerativeFunction,
     GenerativeFunctionClosure,
@@ -51,7 +52,9 @@ __all__ = [
     "ChoiceMapBuilder",
     "Closure",
     "Const",
+    "ChangeTangent",
     "Diff",
+    "Environment",
     "DiffAnnotate",
     "EditRequest",
     "EmptyRequest",
@@ -79,6 +82,7 @@ __all__ = [
     "Weight",
     "do_checkify",
     "empty_trace",
+    "incremental",
     "multi_switch",
     "nth",
     "optional_check",

@@ -130,3 +130,26 @@ class Diff(Pytree):
             for leaf in jtu.tree_leaves(v, is_leaf=lambda x: isinstance(x, Diff))
             if isinstance(leaf, Diff)
         )
+
+
+def incremental(fn):
+    """Coarse-grained change propagation: run `fn` on the primals of
+    Diff-valued arguments and tag the outputs `NoChange` iff *all* inputs
+    were `NoChange` (the reference's default propagation rule,
+    `incremental.py:300-307`, applied at whole-function granularity —
+    this build recomputes densely instead of interpreting jaxprs; see
+    ARCHITECTURE.md).
+
+    Signature matches the reference: `incremental(fn)(handler, primals,
+    tangents)`; the handler slot is accepted for compatibility and
+    ignored (no equation interception happens here).
+    """
+
+    def wrapped(_handler, primals, tangents):
+        diffs = Diff.tree_diff(primals, tangents)
+        out = fn(*primals)
+        if Diff.static_check_no_change(diffs):
+            return Diff.no_change(out)
+        return Diff.unknown_change(out)
+
+    return wrapped
