@@ -110,6 +110,59 @@ def main():
     log(f"framework SIR @1M:   {t_fw*1e3:.2f} ms/iter = {pps_fw/1e6:.1f}M particles/s")
     log(f"handwritten SIR @1M: {t_hw*1e3:.2f} ms/iter = {pps_hw/1e6:.1f}M particles/s")
 
+    # Roofline: framework log-density throughput vs the device's measured
+    # achievable HBM bandwidth (spec sheets overstate what this tunneled
+    # part delivers; the copy-chain probe measures reality).
+    try:
+        import genjax_tpu as g
+        from genjax_tpu import ChoiceMap
+
+        D, KD, NN = 32, 1_000_000, 200
+        ws = jax.random.normal(jax.random.key(9), (KD, D))
+        scales = jnp.ones(NN)
+
+        # host-sync floor (tunnel round trip) to subtract from one-shot timings
+        @jax.jit
+        def _tiny(x):
+            return jnp.sum(x)
+
+        t_floor = timeit(_tiny, jnp.arange(8.0), iters=5)
+
+        @g.gen
+        def dense_model():
+            w = g.mv_normal_diag(jnp.zeros(D), jnp.ones(D)) @ "w"
+            return w
+
+        @jax.jit
+        def density_chain(ws, scales):
+            def body(c, s):
+                score = jnp.sum(
+                    jax.vmap(
+                        lambda w: dense_model.assess(ChoiceMap.kw(w=w * s), ())[0]
+                    )(ws)
+                )
+                return c + score, None
+
+            return jax.lax.scan(body, jnp.float32(0), scales)[0]
+
+        @jax.jit
+        def copy_chain(x):
+            y = jax.lax.scan(lambda y, _: (y + 1.0, None), x, None, length=NN)[0]
+            return jnp.sum(y)  # scalar output; forces the whole chain
+
+        t_den = max(timeit(density_chain, ws, scales, iters=1) - t_floor, 1e-9) / NN
+        flat = ws.reshape(-1)
+        t_cpy = max(timeit(copy_chain, flat, iters=1) - t_floor, 1e-9) / NN
+        den_gbs = KD * D * 4 / t_den / 1e9
+        roof_gbs = 2 * flat.size * 4 / t_cpy / 1e9
+        log(
+            f"log-density throughput: {den_gbs:.0f} GB/s; device achievable "
+            f"(read+write chain): {roof_gbs:.0f} GB/s; roofline fraction "
+            f"{den_gbs / roof_gbs:.2f}"
+        )
+    except Exception as e:  # pragma: no cover
+        log("roofline diagnostic failed:", e)
+
     # Secondary diagnostics (stderr only).
     try:
         from genjax_tpu.models.ssm import run_bootstrap_filter, simulate_ssm_data
