@@ -15,6 +15,7 @@ selected choice leaves. Vectorizing over chains is a `jax.vmap` (or
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import jax.random as jrand
 import jax.tree_util as jtu
@@ -54,33 +55,55 @@ def grad_tree_zip(grad_tree, nongrad_tree):
     )
 
 
-def selection_gradient(
+def make_selection_grad_fn(
     selection: Selection, trace: Trace[Any], argdiffs: Argdiffs
-) -> tuple[ChoiceMap, ChoiceMap]:
-    """Return (selected values, gradient of the model log density w.r.t.
-    them), holding all other choices fixed.
+):
+    """Build a reusable `values -> (logdensity, gradient)` closure over the
+    selected addresses of `trace` (all other choices held fixed).
 
-    The gradient is `jax.grad` of `assess` through the dense choice-map
-    pytree — one reverse pass over the whole model density.
-    """
+    Building the closure once and calling it inside `lax.scan` keeps each
+    leapfrog step at exactly one fused forward+backward density pass —
+    the hand-written-HMC cost."""
     chm = trace.get_choices()
     filtered = chm.filter(selection)
     complement = chm.filter(~selection)
-    grad_tree, nongrad_tree = grad_tree_unzip(filtered)
+    _, nongrad_tree = grad_tree_unzip(filtered)
     gen_fn = trace.get_gen_fn()
+    primal_args = Diff.tree_primal(argdiffs)
 
     def differentiable_assess(grad_tree):
         zipped = grad_tree_zip(grad_tree, nongrad_tree)
         full_choices = zipped.merge(complement)
-        weight, _ = gen_fn.assess(full_choices, Diff.tree_primal(argdiffs))
+        weight, _ = gen_fn.assess(full_choices, primal_args)
         return weight
 
-    gradient = jtu.tree_map(
-        lambda v1, v2: v1 if v1 is not None else jnp.zeros_like(jnp.asarray(v2)),
-        grad(differentiable_assess)(grad_tree),
-        nongrad_tree,
-        is_leaf=lambda x: x is None,
-    )
+    value_and_grad_fn = jax.value_and_grad(differentiable_assess)
+
+    def fn(values: ChoiceMap):
+        grad_tree, _ = grad_tree_unzip(values)
+        score, gradient = value_and_grad_fn(grad_tree)
+        gradient = jtu.tree_map(
+            lambda v1, v2: v1 if v1 is not None else jnp.zeros_like(jnp.asarray(v2)),
+            gradient,
+            nongrad_tree,
+            is_leaf=lambda x: x is None,
+        )
+        return score, grad_tree_zip(gradient, nongrad_tree)
+
+    return fn
+
+
+def selection_gradient(
+    selection: Selection, trace: Trace[Any], argdiffs: Argdiffs
+) -> tuple[ChoiceMap, ChoiceMap]:
+    """Return (selected values, gradient of the model log density w.r.t.
+    them), holding all other choices fixed
+    (reference `hmc.py:70-110` interface)."""
+    chm = trace.get_choices()
+    filtered = chm.filter(selection)
+    grad_fn = make_selection_grad_fn(selection, trace, argdiffs)
+    _, gradient = grad_fn(filtered)
+    grad_tree, nongrad_tree = grad_tree_unzip(filtered)
     return grad_tree_zip(grad_tree, nongrad_tree), gradient
 
 
@@ -129,26 +152,27 @@ class HMC(EditRequest):
     ) -> tuple[Trace[Any], Weight, Retdiff, EditRequest]:
         assert Diff.static_check_no_change(argdiffs)
         original_score = tr.get_score()
-        values, gradients = selection_gradient(self.selection, tr, argdiffs)
+        grad_fn = make_selection_grad_fn(self.selection, tr, argdiffs)
+        values = tr.get_choices().filter(self.selection)
+        _, gradients = grad_fn(values)
         key, sub_key = jrand.split(key)
         momenta, original_momenta_score = sample_momenta(sub_key, gradients)
 
-        def leapfrog(carry, step_seed):
-            trace, values, gradient, momenta = carry
+        # Leapfrog over (values, momenta, gradient) with ONE fused
+        # forward+backward density pass per step; the trace itself is
+        # rebuilt once at the end (a single Update edit), not per step.
+        def leapfrog(carry, _):
+            values, gradient, momenta = carry
             momenta = jtu.tree_map(lambda m, g: m + (self.eps / 2) * g, momenta, gradient)
             values = jtu.tree_map(lambda v, m: v + self.eps * m, values, momenta)
-            step_key = jrand.fold_in(key, step_seed)
-            new_trace, _, retdiff, _ = Update(values).edit(step_key, trace, argdiffs)
-            values, gradient = selection_gradient(self.selection, new_trace, argdiffs)
+            _, gradient = grad_fn(values)
             momenta = jtu.tree_map(lambda m, g: m + (self.eps / 2) * g, momenta, gradient)
-            return (new_trace, values, gradient, momenta), None
+            return (values, gradient, momenta), None
 
-        (final_trace, _, _, final_momenta), _ = scan(
-            leapfrog,
-            (tr, values, gradients, momenta),
-            jnp.arange(self.L) + 1,
-            length=self.L,
+        (final_values, _, final_momenta), _ = scan(
+            leapfrog, (values, gradients, momenta), None, length=self.L
         )
+        final_trace, _, retdiff, _ = Update(final_values).edit(key, tr, argdiffs)
         final_momenta_score = assess_momenta(final_momenta, mul=-1.0)
         alpha = (
             final_trace.get_score()
@@ -159,7 +183,7 @@ class HMC(EditRequest):
         return (
             final_trace,
             alpha,
-            Diff.unknown_change(final_trace.get_retval()),
+            retdiff,
             HMC(self.selection, self.eps, self.L),
         )
 
