@@ -195,15 +195,28 @@ class GenerateHandler(StaticLangHandler):
 
 
 class UpdateHandler(StaticLangHandler):
-    def __init__(self, key: PRNGKey, previous_trace: StaticTrace, constraint: ChoiceMap):
+    def __init__(
+        self,
+        key: PRNGKey,
+        previous_trace: StaticTrace,
+        constraint: ChoiceMap,
+        reuse: frozenset = frozenset(),
+    ):
         super().__init__(key)
         self.previous_trace = previous_trace
         self.constraint = constraint
         self.weight = jnp.zeros(())
         self.bwd_constraints: list[ChoiceMap] = []
+        self.reuse = reuse
 
     def handle_trace(self, addr, gen_fn, args):
         subtrace = self.previous_trace.get_inner_trace(addr)
+        if addr in self.reuse:
+            # Statically unaffected: keep the subtrace, zero weight. XLA
+            # dead-code-eliminates this address's density work entirely.
+            self.bwd_constraints.append(ChoiceMap.empty())
+            self.record(addr, subtrace)
+            return subtrace.get_retval()
         sub_constraint = self.constraint(addr)
         request = Update(sub_constraint)
         tr, w, retdiff, bwd = request.edit(
@@ -217,15 +230,26 @@ class UpdateHandler(StaticLangHandler):
 
 
 class RegenerateHandler(StaticLangHandler):
-    def __init__(self, key: PRNGKey, previous_trace: StaticTrace, selection: Selection):
+    def __init__(
+        self,
+        key: PRNGKey,
+        previous_trace: StaticTrace,
+        selection: Selection,
+        reuse: frozenset = frozenset(),
+    ):
         super().__init__(key)
         self.previous_trace = previous_trace
         self.selection = selection
         self.weight = jnp.zeros(())
         self.bwd_requests: list[EditRequest] = []
+        self.reuse = reuse
 
     def handle_trace(self, addr, gen_fn, args):
         subtrace = self.previous_trace.get_inner_trace(addr)
+        if addr in self.reuse:
+            self.bwd_requests.append(EmptyRequest())
+            self.record(addr, subtrace)
+            return subtrace.get_retval()
         subselection = self.selection(addr)
         request = Regenerate(subselection)
         tr, w, retdiff, bwd = request.edit(
@@ -255,6 +279,43 @@ class StaticRequestHandler(StaticLangHandler):
         self.weight += w
         self.record(addr, tr)
         return Diff.tree_primal(retdiff)
+
+
+def _static_edit_plan(
+    source,
+    primals,
+    trace: StaticTrace,
+    constraint: ChoiceMap | None = None,
+    selection: Selection | None = None,
+    args_changed: bool = True,
+) -> tuple[frozenset, bool]:
+    """Compute the set of addresses whose subtraces can be reused verbatim
+    for this edit, plus whether the return value is statically unchanged
+    (see `lang/analysis.py`). Falls back to no-reuse on any analysis
+    failure — reuse is an optimization, never required for correctness."""
+    from genjax_tpu.lang.analysis import (
+        site_graph,
+        static_selected_addresses,
+        static_touched_addresses,
+    )
+
+    try:
+        graph = site_graph(source, primals)
+        if constraint is not None:
+            touched = static_touched_addresses(constraint)
+        else:
+            touched = static_selected_addresses(selection, graph.order)
+        if touched is None:
+            return frozenset(), False
+        # Only trust the plan if the analysis saw exactly the addresses
+        # the trace recorded (guards against dynamic structure).
+        if set(graph.order) != set(trace.subtraces.keys()):
+            return frozenset(), False
+        w_set = graph.weight_set(touched, args_changed)
+        reuse = frozenset(graph.order) - w_set
+        return reuse, graph.retval_unchanged(touched, args_changed)
+    except Exception:
+        return frozenset(), False
 
 
 #######################
@@ -345,19 +406,21 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
                 Update(ChoiceMap.empty()),
             )
         primals = Diff.tree_primal(argdiffs)
-        handler = UpdateHandler(key, trace, constraint)
+        args_changed = not Diff.static_check_no_change(argdiffs)
+        reuse, retval_static = _static_edit_plan(
+            self.source, primals, trace, constraint=constraint, args_changed=args_changed
+        )
+        handler = UpdateHandler(key, trace, constraint, reuse=reuse)
         with handler_context(handler):
             retval = self.source(*primals)
         new_trace = StaticTrace(self, primals, retval, handler.subtraces)
         bwd_chm = ChoiceMap.from_mapping(
             zip(handler.subtraces.keys(), handler.bwd_constraints)
         )
-        return (
-            new_trace,
-            handler.weight,
-            Diff.unknown_change(retval),
-            Update(bwd_chm),
+        retdiff = (
+            Diff.no_change(retval) if retval_static else Diff.unknown_change(retval)
         )
+        return (new_trace, handler.weight, retdiff, Update(bwd_chm))
 
     def edit_regenerate(
         self,
@@ -376,19 +439,21 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
                 Regenerate(selection),
             )
         primals = Diff.tree_primal(argdiffs)
-        handler = RegenerateHandler(key, trace, selection)
+        args_changed = not Diff.static_check_no_change(argdiffs)
+        reuse, retval_static = _static_edit_plan(
+            self.source, primals, trace, selection=selection, args_changed=args_changed
+        )
+        handler = RegenerateHandler(key, trace, selection, reuse=reuse)
         with handler_context(handler):
             retval = self.source(*primals)
         new_trace = StaticTrace(self, primals, retval, handler.subtraces)
         bwd_request = StaticRequest(
             dict(zip(handler.subtraces.keys(), handler.bwd_requests))
         )
-        return (
-            new_trace,
-            handler.weight,
-            Diff.unknown_change(retval),
-            bwd_request,
+        retdiff = (
+            Diff.no_change(retval) if retval_static else Diff.unknown_change(retval)
         )
+        return (new_trace, handler.weight, retdiff, bwd_request)
 
     def edit_static_request(
         self,
