@@ -22,7 +22,6 @@ import jax.tree_util as jtu
 from jax import grad
 from jax.lax import scan
 
-from genjax_tpu.core.checkify import optional_check
 from genjax_tpu.core.choice_map import ChoiceMap, Selection
 from genjax_tpu.core.concepts import Argdiffs, EditRequest, Retdiff, Score, Weight
 from genjax_tpu.core.diff import Diff
@@ -189,29 +188,19 @@ class HMC(EditRequest):
 
 
 def SafeHMC(selection: Selection, eps: FloatArray, L: int = 10) -> DiffAnnotate:
-    """HMC wrapped with a runtime return-value-stability check.
+    """HMC with a static return-value-stability assertion (reference
+    `hmc.py:214-225`): the move is rejected at trace time unless the
+    site-graph analysis proves the selected addresses cannot reach the
+    model's return value (see `lang/analysis.py`)."""
 
-    The reference statically asserts the model's retdiff is `NoChange`
-    (`hmc.py:214-225`); this build computes edits densely without static
-    change propagation, so the equivalent guard is a runtime equality
-    check on the return value, active under `do_checkify()`.
-    """
-
-    def retdiff_guard(retdiff):
-        def _check():
-            from jax.experimental import checkify
-
-            # Selected-address moves must not alter the model return value
-            # for SafeHMC to be sound.
-            checkify.check(
-                True,
-                "SafeHMC: return value stability must hold for this move.",
-            )
-
-        optional_check(_check)
+    def retdiff_assertion(retdiff):
+        assert Diff.static_check_no_change(retdiff), (
+            "SafeHMC: the selected addresses may change the model's "
+            "return value; use HMC directly if this is intended."
+        )
         return retdiff
 
-    return HMC(selection, eps, L).map(retdiff_guard)
+    return HMC(selection, eps, L).map(retdiff_assertion)
 
 
 @Pytree.dataclass(match_args=True)
