@@ -220,7 +220,9 @@ class MALA(EditRequest):
     ) -> tuple[Trace[Any], Weight, Retdiff, EditRequest]:
         assert Diff.static_check_no_change(argdiffs)
         eps = self.eps
-        values, grads = selection_gradient(self.selection, tr, argdiffs)
+        grad_fn = make_selection_grad_fn(self.selection, tr, argdiffs)
+        values = tr.get_choices().filter(self.selection)
+        _, grads = grad_fn(values)
         key, noise_key = jrand.split(key)
         leaves_ct = len(jtu.tree_leaves(values))
         seed_tree = jtu.tree_unflatten(
@@ -250,7 +252,8 @@ class MALA(EditRequest):
 
         fwd_q = q_score(proposed, values, grads)
         new_tr, w, retdiff, _ = Update(proposed).edit(key, tr, argdiffs)
-        new_values, new_grads = selection_gradient(self.selection, new_tr, argdiffs)
+        new_values = new_tr.get_choices().filter(self.selection)
+        _, new_grads = grad_fn(new_values)
         bwd_q = q_score(values, new_values, new_grads)
         alpha = w + bwd_q - fwd_q
         return (
