@@ -9,7 +9,7 @@ where TPU FLOPs should go.
 import jax
 import jax.numpy as jnp
 
-from genjax_tpu import ChoiceMap, Selection, flip, gen, mv_normal_diag
+from genjax_tpu import ChoiceMap, Selection, bernoulli, gen, mv_normal_diag
 from genjax_tpu.inference.mcmc import run_chains
 from genjax_tpu.inference.requests import HMC, MALA
 
@@ -19,7 +19,9 @@ def logistic_regression(X):
     d = X.shape[-1]
     w = mv_normal_diag(jnp.zeros(d), jnp.ones(d)) @ "w"
     logits = X @ w
-    _ = flip(jax.nn.sigmoid(logits)) @ "ys"
+    # logit parameterization: softplus-stable density (sigmoid+probs
+    # saturates in f32 and NaNs HMC gradients at |logit| > ~17)
+    _ = bernoulli(logits=logits) @ "ys"
     return logits
 
 
@@ -27,7 +29,7 @@ def simulate_logreg_data(key, n: int, d: int):
     kx, kw, ky = jax.random.split(key, 3)
     X = jax.random.normal(kx, (n, d))
     w_true = jax.random.normal(kw, (d,))
-    ys = jax.random.bernoulli(ky, jax.nn.sigmoid(X @ w_true))
+    ys = jax.random.bernoulli(ky, jax.nn.sigmoid(X @ w_true)).astype(jnp.int32)
     return X, ys, w_true
 
 
