@@ -4,7 +4,7 @@ Capability parity with reference
 `_src/generative_functions/combinators/{mixture,or_else,repeat}.py`.
 """
 
-from typing import Any, TypeVar
+from typing import TypeVar
 
 import jax.numpy as jnp
 

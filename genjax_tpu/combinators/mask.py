@@ -11,8 +11,6 @@ existence uncertainty under vectorization.
 
 from typing import Any, Generic, TypeVar
 
-import jax.numpy as jnp
-import jax.tree_util as jtu
 
 from genjax_tpu.core.choice_map import Address, ChoiceMap, Selection
 from genjax_tpu.core.concepts import (

@@ -26,13 +26,11 @@ from genjax_tpu.core.concepts import (
     IndexRequest,
     NotSupportedEditRequest,
     PrimitiveEditRequest,
-    Retdiff,
     Score,
     Weight,
 )
 from genjax_tpu.core.diff import Diff
 from genjax_tpu.core.gfi import GenerativeFunction, Trace, Update
-from genjax_tpu.core.mask import Mask
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.requests import Regenerate
 from genjax_tpu.core.typing import IntArray, PRNGKey

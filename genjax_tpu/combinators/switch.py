@@ -12,7 +12,6 @@ uncertainty — no dynamic shapes, no host control flow.
 
 from typing import Any, Generic, TypeVar
 
-import jax.numpy as jnp
 
 from genjax_tpu.core.choice_map import Address, ChoiceMap, Selection
 from genjax_tpu.core.concepts import (

@@ -24,7 +24,7 @@ from collections.abc import Iterable
 from dataclasses import dataclass
 from operator import or_
 from types import EllipsisType
-from typing import Any, Final, Generic, TypeVar
+from typing import Any, Generic, TypeVar
 
 import jax.numpy as jnp
 import jax.tree_util as jtu

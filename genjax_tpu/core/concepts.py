@@ -4,7 +4,7 @@
 Capability parity with reference `_src/core/generative/concepts.py:48-168`.
 """
 
-from typing import TYPE_CHECKING, Any, Generic, TypeVar
+from typing import TYPE_CHECKING, Any, TypeVar
 
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.typing import FloatArray, IntArray, PRNGKey

@@ -12,7 +12,7 @@ arrays rather than data-dependent control flow).
 """
 
 import functools
-from typing import Any, Generic, TypeVar
+from typing import Generic, TypeVar
 
 import jax.numpy as jnp
 import jax.tree_util as jtu

@@ -21,7 +21,7 @@ from jax.scipy.special import logsumexp
 from genjax_tpu.core.concepts import Score
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.typing import FloatArray, IntArray, PRNGKey
-from genjax_tpu.distributions.distribution import Distribution, DistributionTrace
+from genjax_tpu.distributions.distribution import Distribution
 
 
 def _circulant(source: jnp.ndarray) -> jnp.ndarray:

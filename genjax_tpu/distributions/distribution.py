@@ -9,7 +9,7 @@ branching, Update/Regenerate edit weight math, project), `ExactDensity`
 """
 
 import warnings
-from typing import Any, Callable, Generic, TypeVar
+from typing import Callable, Generic, TypeVar
 
 import jax
 import jax.numpy as jnp

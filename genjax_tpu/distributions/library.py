@@ -22,19 +22,12 @@ import warnings
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import (
-    betainc,
     betaln,
-    digamma,
-    erf,
     erfinv,
-    gammainc,
     gammaln,
-    log_ndtr,
     log_softmax,
     logit,
-    logsumexp,
     ndtr,
-    ndtri,
     xlog1py,
     xlogy,
     zeta,

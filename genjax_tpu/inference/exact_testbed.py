@@ -8,7 +8,6 @@ Capability parity with reference `_src/inference/exact_testbed.py:45-91`.
 import jax
 import jax.numpy as jnp
 
-from genjax_tpu.core.choice_map import SelectionBuilder
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.typing import FloatArray, IntArray, PRNGKey
 from genjax_tpu.distributions.discrete_hmm import (

@@ -11,7 +11,7 @@ followed by systematic resampling (cumsum + searchsorted, or the Pallas
 kernel `genjax_tpu.ops.systematic_ancestors_kernel` on TPU).
 """
 
-from typing import Any, Callable, TypeVar
+from typing import Any, TypeVar
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ TPU notes
   `genjax_tpu.ops.resampling`.
 """
 
-from typing import Any, Callable, Generic, TypeVar
+from typing import Callable, Generic, TypeVar
 
 import jax
 import jax.numpy as jnp

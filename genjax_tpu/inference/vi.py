@@ -26,7 +26,6 @@ from genjax_tpu.adev.primitives import (
     normal_reinforce as _normal_reinforce_prim,
 )
 from genjax_tpu.adev.primitives import normal_reparam as _normal_reparam_prim
-from genjax_tpu.core.choice_map import ChoiceMap
 from genjax_tpu.core.typing import FloatArray, PRNGKey
 from genjax_tpu.distributions.distribution import ExactDensity, exact_density
 from genjax_tpu.distributions.library import (

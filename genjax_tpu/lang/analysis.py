@@ -27,15 +27,12 @@ asymptotic win as the reference's interpreter (O(affected) instead of
 O(model) compiled edits) computed once per jit specialization.
 """
 
-import functools
 from dataclasses import dataclass
-from typing import Any
-
 import jax
 import jax.tree_util as jtu
 
 from genjax_tpu.core.primitives import InitialStylePrimitive, initial_style_bind
-from genjax_tpu.core.pytree import Const, Pytree
+from genjax_tpu.core.pytree import Const
 from genjax_tpu.lang.interop import TraceHandler, handler_context
 
 site_p = InitialStylePrimitive("genjax_site")

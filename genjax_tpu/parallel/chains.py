@@ -12,7 +12,7 @@ from typing import Any, Callable, TypeVar
 import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from genjax_tpu.core.concepts import EditRequest

@@ -16,12 +16,11 @@ Design (new relative to the single-device reference; see SURVEY.md §2.2):
 """
 
 from functools import partial
-from typing import Any, Generic, TypeVar
+from typing import Generic, TypeVar
 
 import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
-from jax.scipy.special import logsumexp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 

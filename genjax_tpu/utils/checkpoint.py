@@ -9,8 +9,6 @@ preserving shardings on restore when a target structure is provided.
 
 from typing import Any
 
-import jax
-
 
 def save_checkpoint(path: str, state: Any) -> None:
     """Serialize an inference-state pytree (trace, ParticleCollection,

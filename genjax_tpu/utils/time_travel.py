@@ -15,7 +15,7 @@ debugger-path cost, never on a hot path).
 """
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 _STATE = threading.local()
