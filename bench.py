@@ -178,6 +178,41 @@ def main():
         log("PF diagnostic failed:", e)
 
     try:
+        # Full SMC round (init + psum LML + systematic resample +
+        # regenerate-rejuvenation) at 1M particles on the device mesh.
+        import genjax_tpu as g
+        from genjax_tpu import ChoiceMap, Regenerate, Selection, Target
+        from genjax_tpu.parallel import ShardedSMC, particle_mesh
+
+        @g.gen
+        def conj():
+            x = g.normal(0.0, 1.0) @ "x"
+            y = g.normal(x, 1.0) @ "y"
+            return y
+
+        mesh = particle_mesh()
+        smc = ShardedSMC(n_particles=1_000_000, mesh=mesh, ess_threshold=2.0)
+        tgt = Target(conj, (), ChoiceMap.kw(y=1.0))
+
+        @jax.jit
+        def smc_round(key):
+            col = smc.init(key, tgt)
+            lml = smc.lml(col)
+            col = smc.maybe_resample(jax.random.fold_in(key, 1), col)
+            col = smc.rejuvenate(
+                jax.random.fold_in(key, 2), col, Regenerate(Selection.at["x"])
+            )
+            return lml, jnp.mean(col.get_particles().get_choices()["x"])
+
+        t_smc = timeit(smc_round, jax.random.key(5), iters=3)
+        log(
+            f"SMC full round @1M particles (init+LML+resample+rejuvenate): "
+            f"{t_smc*1e3:.1f} ms = {1_000_000/t_smc/1e6:.1f}M particle-rounds/s"
+        )
+    except Exception as e:  # pragma: no cover
+        log("SMC@1M diagnostic failed:", e)
+
+    try:
         from genjax_tpu.models.logreg import run_hmc_chains, simulate_logreg_data
 
         X, yo, _ = simulate_logreg_data(jax.random.key(3), 256, 16)
