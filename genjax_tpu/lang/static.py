@@ -201,6 +201,7 @@ class UpdateHandler(StaticLangHandler):
         previous_trace: StaticTrace,
         constraint: ChoiceMap,
         reuse: frozenset = frozenset(),
+        args_unchanged: frozenset = frozenset(),
     ):
         super().__init__(key)
         self.previous_trace = previous_trace
@@ -208,6 +209,7 @@ class UpdateHandler(StaticLangHandler):
         self.weight = jnp.zeros(())
         self.bwd_constraints: list[ChoiceMap] = []
         self.reuse = reuse
+        self.args_unchanged = args_unchanged
 
     def handle_trace(self, addr, gen_fn, args):
         subtrace = self.previous_trace.get_inner_trace(addr)
@@ -217,11 +219,16 @@ class UpdateHandler(StaticLangHandler):
             self.bwd_constraints.append(ChoiceMap.empty())
             self.record(addr, subtrace)
             return subtrace.get_retval()
+        # Statically-proven-unchanged arguments propagate NoChange into the
+        # callee, so nested @gen callees recurse the O(affected) plan.
+        argdiffs = (
+            Diff.no_change(args)
+            if addr in self.args_unchanged
+            else Diff.unknown_change(args)
+        )
         sub_constraint = self.constraint(addr)
         request = Update(sub_constraint)
-        tr, w, retdiff, bwd = request.edit(
-            self.fresh_key(), subtrace, Diff.unknown_change(args)
-        )
+        tr, w, retdiff, bwd = request.edit(self.fresh_key(), subtrace, argdiffs)
         assert isinstance(bwd, Update)
         self.bwd_constraints.append(bwd.constraint)
         self.weight += w
@@ -236,6 +243,7 @@ class RegenerateHandler(StaticLangHandler):
         previous_trace: StaticTrace,
         selection: Selection,
         reuse: frozenset = frozenset(),
+        args_unchanged: frozenset = frozenset(),
     ):
         super().__init__(key)
         self.previous_trace = previous_trace
@@ -243,6 +251,7 @@ class RegenerateHandler(StaticLangHandler):
         self.weight = jnp.zeros(())
         self.bwd_requests: list[EditRequest] = []
         self.reuse = reuse
+        self.args_unchanged = args_unchanged
 
     def handle_trace(self, addr, gen_fn, args):
         subtrace = self.previous_trace.get_inner_trace(addr)
@@ -250,11 +259,14 @@ class RegenerateHandler(StaticLangHandler):
             self.bwd_requests.append(EmptyRequest())
             self.record(addr, subtrace)
             return subtrace.get_retval()
+        argdiffs = (
+            Diff.no_change(args)
+            if addr in self.args_unchanged
+            else Diff.unknown_change(args)
+        )
         subselection = self.selection(addr)
         request = Regenerate(subselection)
-        tr, w, retdiff, bwd = request.edit(
-            self.fresh_key(), subtrace, Diff.unknown_change(args)
-        )
+        tr, w, retdiff, bwd = request.edit(self.fresh_key(), subtrace, argdiffs)
         self.bwd_requests.append(bwd)
         self.weight += w
         self.record(addr, tr)
@@ -288,7 +300,7 @@ def _static_edit_plan(
     constraint: ChoiceMap | None = None,
     selection: Selection | None = None,
     args_changed: bool = True,
-) -> tuple[frozenset, bool]:
+) -> tuple[frozenset, frozenset, bool]:
     """Compute the set of addresses whose subtraces can be reused verbatim
     for this edit, plus whether the return value is statically unchanged
     (see `lang/analysis.py`). Falls back to no-reuse on any analysis
@@ -306,16 +318,25 @@ def _static_edit_plan(
         else:
             touched = static_selected_addresses(selection, graph.order)
         if touched is None:
-            return frozenset(), False
+            return frozenset(), frozenset(), False
         # Only trust the plan if the analysis saw exactly the addresses
         # the trace recorded (guards against dynamic structure).
         if set(graph.order) != set(trace.subtraces.keys()):
-            return frozenset(), False
+            return frozenset(), frozenset(), False
         w_set = graph.weight_set(touched, args_changed)
         reuse = frozenset(graph.order) - w_set
-        return reuse, graph.retval_unchanged(touched, args_changed)
+        # Addresses edited only because the request targets them directly
+        # — their *arguments* are provably unchanged, so nested callees
+        # receive NoChange argdiffs and recurse the plan.
+        args_unchanged = frozenset(
+            addr
+            for addr in w_set
+            if not (graph.deps[addr] & touched)
+            and not (args_changed and addr in graph.args_reach)
+        )
+        return reuse, args_unchanged, graph.retval_unchanged(touched, args_changed)
     except Exception:
-        return frozenset(), False
+        return frozenset(), frozenset(), False
 
 
 #######################
@@ -407,10 +428,12 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
             )
         primals = Diff.tree_primal(argdiffs)
         args_changed = not Diff.static_check_no_change(argdiffs)
-        reuse, retval_static = _static_edit_plan(
+        reuse, args_unchanged, retval_static = _static_edit_plan(
             self.source, primals, trace, constraint=constraint, args_changed=args_changed
         )
-        handler = UpdateHandler(key, trace, constraint, reuse=reuse)
+        handler = UpdateHandler(
+            key, trace, constraint, reuse=reuse, args_unchanged=args_unchanged
+        )
         with handler_context(handler):
             retval = self.source(*primals)
         new_trace = StaticTrace(self, primals, retval, handler.subtraces)
@@ -440,10 +463,12 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
             )
         primals = Diff.tree_primal(argdiffs)
         args_changed = not Diff.static_check_no_change(argdiffs)
-        reuse, retval_static = _static_edit_plan(
+        reuse, args_unchanged, retval_static = _static_edit_plan(
             self.source, primals, trace, selection=selection, args_changed=args_changed
         )
-        handler = RegenerateHandler(key, trace, selection, reuse=reuse)
+        handler = RegenerateHandler(
+            key, trace, selection, reuse=reuse, args_unchanged=args_unchanged
+        )
         with handler_context(handler):
             retval = self.source(*primals)
         new_trace = StaticTrace(self, primals, retval, handler.subtraces)
