@@ -18,14 +18,16 @@ PRNG discipline matches the reference (`static.py:260-263`): the k-th
 `trace` call in program order receives `jax.random.fold_in(key, k)`, which
 is reproducible and vectorization-friendly.
 
-Edit semantics note: the reference propagates static change tangents
-(`Diff`) through model code with an incremental jaxpr interpreter so that
-unchanged addresses can skip density recomputation. On TPU, dense fused
-recomputation is the efficient pattern, so `edit` here re-executes the
-source and recomputes each address's density against the retained or
-constrained value; the weight algebra
-(`fwd_logpdf - old_score` per address) is mathematically identical.
-Statically-empty edits short-circuit to zero cost.
+Edit semantics: the reference propagates static change tangents (`Diff`)
+through model code with an incremental jaxpr interpreter so unchanged
+addresses skip density recomputation. Here the same capability comes from
+a one-time site-graph dependency analysis (`lang/analysis.py`): addresses
+outside the statically-affected set reuse their subtraces verbatim (and
+vanish from the compiled edit), addresses whose arguments are provably
+unchanged pass `NoChange` argdiffs into their callees (recursing the
+plan through nested models), and everything else recomputes densely with
+the identical weight algebra (`fwd_logpdf - old_score` per address).
+Dynamic structure falls back to dense recompute, which is always correct.
 """
 
 import functools
