@@ -86,6 +86,40 @@ def mh_chain(
     return final_trace, outs
 
 
+def gibbs_sweep(
+    key: PRNGKey,
+    trace: Trace[R],
+    selections,
+) -> Trace[R]:
+    """One Gibbs-style sweep: an MH-with-prior-regeneration step for each
+    address block in `selections`, in order. With conjugate full
+    conditionals this is systematic-scan Metropolis-within-Gibbs."""
+    from genjax_tpu.core.requests import Regenerate
+
+    for i, sel in enumerate(selections):
+        trace, _ = mh(jax.random.fold_in(key, i), trace, Regenerate(sel))
+    return trace
+
+
+def gibbs_chain(
+    key: PRNGKey,
+    trace: Trace[R],
+    selections,
+    n_sweeps: int,
+    collect: Callable[[Trace[R]], Any] | None = None,
+):
+    """`n_sweeps` Gibbs sweeps as a `lax.scan`."""
+    selections = tuple(selections)
+
+    def sweep(trace, sweep_key):
+        new_trace = gibbs_sweep(sweep_key, trace, selections)
+        out = collect(new_trace) if collect is not None else None
+        return new_trace, out
+
+    keys = jax.random.split(key, n_sweeps)
+    return jax.lax.scan(sweep, trace, keys)
+
+
 def run_chains(
     key: PRNGKey,
     traces: Trace[R],
