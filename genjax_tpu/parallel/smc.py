@@ -88,10 +88,25 @@ def sharded_systematic_ancestors(
         cdf = jnp.cumsum(w)
         shard = jax.lax.axis_index(axis)
         per_shard = lw_local.shape[0]
-        u0 = jax.random.uniform(key, ())
-        slots = shard * per_shard + jnp.arange(per_shard)
-        us = (u0 + slots.astype(w.dtype)) / n
-        return jnp.clip(jnp.searchsorted(cdf, us, side="right"), 0, n - 1)
+        lo = shard * per_shard
+        u0 = jax.random.uniform(key, (), dtype=w.dtype)
+        # Search-free closed form (see inference.smc.systematic_resample):
+        # particle i's output block is [N_{i-1}, N_i). Each shard scatters
+        # block starts that land in its slot range [lo, lo+per_shard)
+        # (blocks straddling `lo` collapse onto local slot 0 via max) and
+        # fills forward with a cumulative max.
+        n_cum = jnp.clip(jnp.floor(n * cdf - u0).astype(jnp.int32) + 1, 0, n)
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), n_cum[:-1]])
+        occupied = n_cum > starts
+        local_starts = jnp.maximum(starts - lo, 0)
+        in_range = occupied & (starts < lo + per_shard)
+        scatter_idx = jnp.where(in_range, local_starts, per_shard)
+        anc0 = (
+            jnp.zeros((per_shard,), jnp.int32)
+            .at[scatter_idx]
+            .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        )
+        return jax.lax.associative_scan(jnp.maximum, anc0)
 
     return _anc(key, log_weights)
 
