@@ -60,9 +60,57 @@ def ess(log_weights: FloatArray) -> FloatArray:
 
 
 def multinomial_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArray:
-    """IID categorical ancestor sampling."""
-    logits = log_weights - logsumexp(log_weights)
-    return jax.random.categorical(key, logits, shape=(n,))
+    """Multinomial ancestor sampling via sorted uniform spacings.
+
+    `jax.random.categorical` over K logits with n draws materializes an
+    (n, K) Gumbel matrix — quadratic and catastrophic at K=n=1M. The
+    exponential-spacings construction produces n *sorted* uniforms in
+    O(n), after which ancestors come from one merge against the CDF
+    (ancestor multiset is exactly multinomial; order is exchangeable)."""
+    k_space, k_perm = jax.random.split(key)
+    w = jax.nn.softmax(log_weights)
+    cdf = jnp.cumsum(w)
+    e = jax.random.exponential(k_space, (n + 1,), dtype=w.dtype)
+    cums = jnp.cumsum(e)
+    us = cums[:n] / cums[n]
+    sorted_anc = _sorted_queries_ancestors(cdf, us)
+    # A uniform permutation of the order statistics restores the iid
+    # sequence in distribution.
+    return jax.random.permutation(k_perm, sorted_anc)
+
+
+def _blocks_to_ancestors(block_ends: IntArray, n: int) -> IntArray:
+    """Ancestor vector from cumulative block ends: particle i owns output
+    slots [block_ends[i-1], block_ends[i]). Dense scatter + cumulative max
+    — no search (see `systematic_resample`)."""
+    k = block_ends.shape[0]
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), block_ends[:-1]])
+    occupied = block_ends > starts
+    scatter_idx = jnp.where(occupied, starts, n)
+    anc0 = (
+        jnp.zeros((n,), jnp.int32)
+        .at[scatter_idx]
+        .max(jnp.arange(k, dtype=jnp.int32), mode="drop")
+    )
+    return jax.lax.associative_scan(jnp.maximum, anc0)
+
+
+def _sorted_queries_ancestors(cdf: FloatArray, us: FloatArray) -> IntArray:
+    """`searchsorted(cdf, us, side='right')` for SORTED queries via one
+    merge sort instead of per-query binary-search gathers (which are
+    pathologically slow on TPU). The j-th query's merged position p
+    satisfies p = #(cdf <= u_j) + j."""
+    k = cdf.shape[0]
+    n = us.shape[0]
+    merged = jnp.concatenate([cdf, us])
+    order = jnp.argsort(merged, stable=True)  # ties: cdf entries first
+    inv = (
+        jnp.zeros((k + n,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(k + n, dtype=jnp.int32))
+    )
+    positions = inv[k:]
+    return jnp.clip(positions - jnp.arange(n, dtype=jnp.int32), 0, k - 1)
 
 
 def systematic_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArray:
@@ -79,54 +127,47 @@ def systematic_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArr
     random gathers defeat the memory system; this formulation runs in a
     few ms and is exact up to the same f32 boundary rounding.)
     """
-    k = log_weights.shape[0]
     w = jax.nn.softmax(log_weights)
     cdf = jnp.cumsum(w)
     u0 = jax.random.uniform(key, (), dtype=w.dtype)
     # N_i = #output slots with u_s <= cdf_i  (side='right' semantics)
-    n_cum = jnp.clip(
-        jnp.floor(n * cdf - u0).astype(jnp.int32) + 1, 0, n
-    )
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), n_cum[:-1]])
-    occupied = n_cum > starts
-    # Scatter each surviving particle's index at its block start (empty
-    # blocks scatter out of bounds and are dropped), then fill forward.
-    scatter_idx = jnp.where(occupied, starts, n)
-    anc0 = (
-        jnp.zeros((n,), jnp.int32)
-        .at[scatter_idx]
-        .max(jnp.arange(k, dtype=jnp.int32), mode="drop")
-    )
-    return jax.lax.associative_scan(jnp.maximum, anc0)
+    n_cum = jnp.clip(jnp.floor(n * cdf - u0).astype(jnp.int32) + 1, 0, n)
+    return _blocks_to_ancestors(n_cum, n)
 
 
 def stratified_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArray:
-    """Stratified resampling: one uniform per stratum."""
+    """Stratified resampling: one uniform per stratum. The queries are
+    sorted by construction, so ancestors come from one merge sort instead
+    of per-query binary search."""
     w = jax.nn.softmax(log_weights)
     cdf = jnp.cumsum(w)
-    us = (jax.random.uniform(key, (n,)) + jnp.arange(n, dtype=w.dtype)) / n
-    return jnp.clip(
-        jnp.searchsorted(cdf, us, side="right"), 0, log_weights.shape[0] - 1
-    )
+    us = (jax.random.uniform(key, (n,), dtype=w.dtype) + jnp.arange(n, dtype=w.dtype)) / n
+    return _sorted_queries_ancestors(cdf, us)
 
 
 def residual_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArray:
     """Residual resampling: deterministic floor counts + multinomial
-    remainder, realized densely (no dynamic shapes) via a counting-sort
-    style expansion."""
+    remainder, realized densely (no dynamic shapes; the deterministic
+    block expansion uses the scatter+cummax form)."""
     w = jax.nn.softmax(log_weights)
     scaled = n * w
     floors = jnp.floor(scaled).astype(jnp.int32)
     residual = scaled - floors
     n_det = jnp.sum(floors)
-    # Dense deterministic ancestor expansion: index i repeated floors[i]
-    # times = searchsorted over cumulative floor counts.
-    cum = jnp.cumsum(floors)
+    det_anc = _blocks_to_ancestors(jnp.cumsum(floors), n)
+    # Stochastic remainder: multinomial over the residual weights (sorted
+    # spacings + merge, see multinomial_resample); slots < n_det use the
+    # deterministic expansion.
+    k_space, k_perm = jax.random.split(key)
+    rem_w = residual / jnp.maximum(jnp.sum(residual), 1e-38)
+    rem_cdf = jnp.cumsum(rem_w)
+    e = jax.random.exponential(k_space, (n + 1,), dtype=w.dtype)
+    cums = jnp.cumsum(e)
+    us = cums[:n] / cums[n]
+    rem_anc = jax.random.permutation(
+        k_perm, _sorted_queries_ancestors(rem_cdf, us)
+    )
     positions = jnp.arange(n)
-    det_anc = jnp.searchsorted(cum, positions, side="right")
-    # Stochastic remainder: sample all n, use only where position >= n_det.
-    rem_logits = jnp.log(jnp.maximum(residual, 1e-38))
-    rem_anc = jax.random.categorical(key, rem_logits, shape=(n,))
     anc = jnp.where(positions < n_det, det_anc, rem_anc)
     return jnp.clip(anc, 0, log_weights.shape[0] - 1)
 
