@@ -127,7 +127,30 @@ def _uniform_logpdf(v, low=0.0, high=1.0):
 uniform = native_distribution(_uniform_sample, _uniform_logpdf, "uniform")
 
 
+def _static_small_int(v, limit: float) -> int | None:
+    """If `v` is a trace-time-concrete positive integer <= limit, return
+    it; else None. (Model hyperparameters written as literals stay
+    concrete under jit, enabling static sampler specialization.)"""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        fv = float(v)
+        if fv.is_integer() and 1.0 <= fv <= limit:
+            return int(fv)
+    return None
+
+
 def _beta_sample(key, concentration1, concentration0):
+    # Order-statistic fast path: for integer (a, b), Beta(a, b) is the
+    # a-th smallest of a+b-1 uniforms — rejection-free, ~8x faster than
+    # the two-gamma construction on TPU (rejection loops are worst-lane
+    # bound under SIMD; uniforms are one PRNG pass).
+    a = _static_small_int(concentration1, 8)
+    b = _static_small_int(concentration0, 8)
+    if a is not None and b is not None and a + b <= 9:
+        n = a + b - 1
+        if n == 1:
+            return jax.random.uniform(key)
+        u = jax.random.uniform(key, (n,))
+        return jnp.sort(u)[a - 1]
     return jax.random.beta(key, concentration1, concentration0)
 
 
@@ -228,6 +251,14 @@ exponential = native_distribution(_exponential_sample, _exponential_logpdf, "exp
 
 
 def _gamma_sample(key, concentration, rate):
+    # Closed form for integer shape: Gamma(n, 1) = -log(prod of n
+    # uniforms) — no rejection loop.
+    n = _static_small_int(concentration, 8)
+    if n is not None and jnp.shape(rate) == ():
+        u = jax.random.uniform(
+            key, (n,), minval=jnp.finfo(jnp.float32).tiny, maxval=1.0
+        )
+        return -jnp.sum(jnp.log(u)) / rate
     return jax.random.gamma(key, concentration, shape=jnp.shape(concentration * rate * 1.0)) / rate
 
 
