@@ -246,6 +246,12 @@ half_normal = native_distribution(_half_normal_sample, _half_normal_logpdf, "hal
 
 def _student_t_sample(key, df, loc, scale):
     shape = jnp.shape(jnp.zeros(()) + df + loc + scale)
+    if isinstance(df, (int, float)) and shape == ():
+        k1, k2 = jax.random.split(key)
+        g = _fast_gamma_unit(k1, float(df) / 2.0)
+        if g is not None:
+            z = jax.random.normal(k2)
+            return loc + scale * z / jnp.sqrt(2.0 * g / df)
     return loc + scale * jax.random.t(key, df, shape=shape)
 
 
@@ -900,6 +906,12 @@ categorical = native_distribution(_categorical_sample, _categorical_logpdf, "cat
 
 def _binomial_sample(key, total_count, probs=None, logits=None):
     p = jax.nn.sigmoid(logits) if probs is None else probs
+    # Small integer counts: sum of n Bernoullis (one fused uniform pass)
+    # instead of the general rejection sampler.
+    n = _static_small_int(total_count, 16)
+    if n is not None and jnp.shape(p) == ():
+        u = jax.random.uniform(key, (n,))
+        return jnp.sum((u < p).astype(jnp.float32))
     return jax.random.binomial(key, total_count, p)
 
 
@@ -917,8 +929,8 @@ binomial = native_distribution(_binomial_sample, _binomial_logpdf, "binomial")
 
 def _beta_binomial_sample(key, total_count, concentration1, concentration0):
     k1, k2 = jax.random.split(key)
-    p = jax.random.beta(k1, concentration1, concentration0)
-    return jax.random.binomial(k2, total_count, p)
+    p = _beta_sample(k1, concentration1, concentration0)
+    return _binomial_sample(k2, total_count, probs=p)
 
 
 def _beta_binomial_logpdf(v, total_count, concentration1, concentration0):
@@ -1006,9 +1018,7 @@ def _negative_binomial_sample(key, total_count, logits=None, probs=None):
     # Gamma-Poisson mixture: lam ~ Gamma(r, rate=(1-p)/p); X ~ Poisson(lam).
     p = jax.nn.sigmoid(logits) if probs is None else probs
     k1, k2 = jax.random.split(key)
-    lam = jax.random.gamma(k1, total_count, shape=jnp.shape(total_count * p * 1.0)) * (
-        p / (1.0 - p)
-    )
+    lam = _gamma_sample(k1, total_count, 1.0) * (p / (1.0 - p))
     return jax.random.poisson(k2, lam)
 
 
