@@ -75,13 +75,17 @@ def framework_sir():
     return run
 
 
-def handwritten_sir():
-    """The identical computation, hand-written in raw JAX."""
+def handwritten_sir(beta_sampler=None):
+    """The identical computation, hand-written in raw JAX. The default
+    sampler is `jax.random.beta` (what a practitioner writes); pass the
+    framework's sampler to isolate GFI overhead from sampler quality."""
+    if beta_sampler is None:
+        beta_sampler = lambda kk: jax.random.beta(kk, 2.0, 2.0)
 
     def one(key):
         k1, k2 = jax.random.split(key)
         pkeys = jax.random.split(k1, K)
-        p = jax.vmap(lambda kk: jax.random.beta(kk, 2.0, 2.0))(pkeys)
+        p = jax.vmap(beta_sampler)(pkeys)
         ws = jnp.log(p)  # log p(v=True | p)
         lml = logsumexp(ws) - jnp.log(float(K))
         idx = jax.random.categorical(k2, ws - logsumexp(ws))
@@ -109,6 +113,20 @@ def main():
     pps_hw = K / t_hw
     log(f"framework SIR @1M:   {t_fw*1e3:.2f} ms/iter = {pps_fw/1e6:.1f}M particles/s")
     log(f"handwritten SIR @1M: {t_hw*1e3:.2f} ms/iter = {pps_hw/1e6:.1f}M particles/s")
+    # Transparency split: hand-written WITH the framework's specialized
+    # sampler isolates pure GFI overhead from sampler quality.
+    try:
+        from genjax_tpu.distributions.library import _beta_sample
+
+        hw_fast = handwritten_sir(lambda kk: _beta_sample(kk, 2.0, 2.0))
+        t_hwf = timeit(hw_fast, iter_keys, iters=3) / ITERS
+        log(
+            f"handwritten + framework sampler: {t_hwf*1e3:.2f} ms/iter "
+            f"(GFI overhead = {t_fw/t_hwf:.3f}x; sampler speedup = "
+            f"{t_hw/t_hwf:.1f}x)"
+        )
+    except Exception as e:  # pragma: no cover
+        log("sampler-split diagnostic failed:", e)
 
     # Roofline: framework log-density throughput vs the device's measured
     # achievable HBM bandwidth (spec sheets overstate what this tunneled
