@@ -167,8 +167,13 @@ class Switch(Generic[R], GenerativeFunction[R]):
             [(tr.get_score(), w, Diff.tree_primal(rd)) for tr, w, rd, _ in rets],
         )
         if Diff.tree_tangent(idx_diff) is UnknownChange:
-            # Index move: correct with the full score ratio.
-            weight += score - trace.get_score()
+            # Index move: the weight is the full joint delta (same
+            # convention as Mask's existence transitions and Regenerate).
+            # The fresh-branch inner edit's weight (edited - fresh) must
+            # be DISCARDED, not added — keeping it double-counts every
+            # constrained site (caught by
+            # tests/combinators/test_combinator_properties.py).
+            weight = score - trace.get_score()
         bwd_request = rets[0][3]
         return (
             SwitchTrace(self, primals, subtraces, retval, score),

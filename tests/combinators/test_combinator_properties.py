@@ -1,0 +1,193 @@
+"""Hypothesis property tests: the GFI weight identities must hold
+through the combinator algebra — scan over a nested callee, vmap,
+switch — not just for flat models (those identities live in
+tests/lang/test_gfi_properties.py).
+
+Mirrors the reference's strategy of asserting edit/update weight
+telescoping on composite models (SURVEY.md §4), randomized over model
+parameters, edit sites, and PRNG seeds.
+"""
+
+import jax
+import jax.numpy as jnp
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import genjax_tpu as g
+from genjax_tpu import ChoiceMap, Diff, Regenerate, Selection, Update
+
+finite = st.floats(min_value=-2, max_value=2, allow_nan=False)
+seeds = st.integers(min_value=0, max_value=2**20)
+T = 4
+
+
+@g.gen
+def inner(loc):
+    u = g.normal(loc, 0.5) @ "u"
+    return u
+
+
+@g.gen
+def step(carry, _):
+    x = g.normal(carry, 1.0) @ "x"
+    y = inner(x) @ "sub"
+    return x + 0.1 * y, x
+
+
+chain = step.scan(n=T)
+
+
+@g.gen
+def kernel(x):
+    z = g.normal(x, 1.0) @ "z"
+    return z
+
+
+@g.gen
+def branch_lo():
+    return g.normal(0.0, 1.0) @ "lo"
+
+
+@g.gen
+def branch_hi():
+    return g.normal(5.0, 2.0) @ "hi"
+
+
+class TestScanNestedIdentities:
+    """Scan whose step calls a nested @gen function — identities must
+    survive the carry dependency chain (an edit at step i changes the
+    density of every later step)."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(finite, seeds)
+    def test_simulate_assess_agree(self, c0, seed):
+        tr = chain.simulate(jax.random.key(seed), (c0, None))
+        score, _ = chain.assess(tr.get_choices(), (c0, None))
+        assert jnp.allclose(score, tr.get_score(), atol=1e-4)
+
+    @settings(max_examples=10, deadline=None)
+    @given(finite, finite, st.integers(min_value=0, max_value=T - 1), seeds)
+    def test_indexed_update_telescopes_and_roundtrips(
+        self, c0, new_x, idx, seed
+    ):
+        tr = chain.simulate(jax.random.key(seed), (c0, None))
+        constraint = ChoiceMap.entry(ChoiceMap.kw(x=new_x), jnp.array(idx))
+        new_tr, w, _, bwd = chain.edit(
+            jax.random.key(seed + 1),
+            tr,
+            Update(constraint),
+            Diff.no_change((c0, None)),
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
+        # roundtrip through the backward request restores the joint exactly
+        assert isinstance(bwd, Update)
+        back, w2, _, _ = chain.edit(
+            jax.random.key(seed + 2),
+            new_tr,
+            bwd,
+            Diff.no_change((c0, None)),
+        )
+        assert jnp.allclose(w + w2, 0.0, atol=1e-4)
+        assert jnp.allclose(back.get_score(), tr.get_score(), atol=1e-4)
+
+    @settings(max_examples=8, deadline=None)
+    @given(finite, seeds)
+    def test_regenerate_nested_site_is_joint_delta(self, c0, seed):
+        """Regenerating the nested callee's site at every step: weight is
+        the full joint score delta (reference Regenerate semantics)."""
+        tr = chain.simulate(jax.random.key(seed), (c0, None))
+        new_tr, w, _, _ = chain.edit(
+            jax.random.key(seed + 1),
+            tr,
+            Regenerate(Selection.at[..., "sub", "u"]),
+            Diff.no_change((c0, None)),
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
+
+
+class TestVmapIdentities:
+    @settings(max_examples=10, deadline=None)
+    @given(finite, seeds)
+    def test_simulate_assess_agree(self, shift, seed):
+        mapped = kernel.vmap(in_axes=(0,))
+        xs = jnp.arange(5.0) + shift
+        tr = mapped.simulate(jax.random.key(seed), (xs,))
+        score, _ = mapped.assess(tr.get_choices(), (xs,))
+        assert jnp.allclose(score, tr.get_score(), atol=1e-4)
+
+    @settings(max_examples=10, deadline=None)
+    @given(finite, seeds)
+    def test_regenerate_broadcast_is_joint_delta(self, shift, seed):
+        mapped = kernel.vmap(in_axes=(0,))
+        xs = jnp.arange(4.0) + shift
+        tr = mapped.simulate(jax.random.key(seed), (xs,))
+        new_tr, w, _, _ = mapped.edit(
+            jax.random.key(seed + 1),
+            tr,
+            Regenerate(Selection.at["z"]),
+            Diff.no_change((xs,)),
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
+
+    @settings(max_examples=10, deadline=None)
+    @given(finite, finite, st.integers(min_value=0, max_value=3), seeds)
+    def test_indexed_update_telescopes(self, shift, new_z, idx, seed):
+        mapped = kernel.vmap(in_axes=(0,))
+        xs = jnp.arange(4.0) + shift
+        tr = mapped.simulate(jax.random.key(seed), (xs,))
+        constraint = ChoiceMap.entry(ChoiceMap.kw(z=new_z), jnp.array(idx))
+        new_tr, w, _, _ = mapped.edit(
+            jax.random.key(seed + 1),
+            tr,
+            Update(constraint),
+            Diff.no_change((xs,)),
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
+
+
+class TestSwitchIdentities:
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(min_value=0, max_value=1), seeds)
+    def test_simulate_assess_agree(self, idx, seed):
+        sw = g.switch(branch_lo, branch_hi)
+        args = (jnp.array(idx), (), ())
+        tr = sw.simulate(jax.random.key(seed), args)
+        score, _ = sw.assess(tr.get_choices(), args)
+        assert jnp.allclose(score, tr.get_score(), atol=1e-4)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(min_value=0, max_value=1), finite, seeds)
+    def test_same_index_update_telescopes(self, idx, new_v, seed):
+        sw = g.switch(branch_lo, branch_hi)
+        args = (jnp.array(idx), (), ())
+        tr = sw.simulate(jax.random.key(seed), args)
+        addr = "lo" if idx == 0 else "hi"
+        new_tr, w, _, _ = sw.edit(
+            jax.random.key(seed + 1),
+            tr,
+            Update(ChoiceMap.kw(**{addr: new_v})),
+            Diff.no_change(args),
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(min_value=0, max_value=1), seeds)
+    def test_index_flip_update_weight(self, idx, seed):
+        """Changing the branch index with the new branch fully
+        constrained: weight is new joint minus old joint (the constraint
+        supplies every new-branch choice, so no proposal terms)."""
+        sw = g.switch(branch_lo, branch_hi)
+        tr = sw.simulate(jax.random.key(seed), (jnp.array(idx), (), ()))
+        new_idx = 1 - idx
+        addr = "lo" if new_idx == 0 else "hi"
+        new_tr, w, _, _ = sw.edit(
+            jax.random.key(seed + 1),
+            tr,
+            Update(ChoiceMap.kw(**{addr: 1.25})),
+            (
+                Diff.unknown_change(jnp.array(new_idx)),
+                Diff.no_change(()),
+                Diff.no_change(()),
+            ),
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
