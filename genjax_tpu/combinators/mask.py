@@ -104,8 +104,10 @@ class MaskCombinator(Generic[R], GenerativeFunction[Any]):
         edit_request: EditRequest,
         argdiffs: Argdiffs,
     ) -> tuple[MaskTrace[R], Weight, Retdiff, EditRequest]:
+        from genjax_tpu.core.requests import Regenerate
+
         assert isinstance(trace, MaskTrace)
-        if not isinstance(edit_request, Update):
+        if not isinstance(edit_request, (Update, Regenerate)):
             raise NotSupportedEditRequest(edit_request)
         check_diff, inner_argdiffs = argdiffs[0], argdiffs[1:]
         post_check = Diff.tree_primal(check_diff)
@@ -113,7 +115,7 @@ class MaskCombinator(Generic[R], GenerativeFunction[Any]):
         original = trace.inner
 
         new_inner, weight, retdiff, bwd = self.gen_fn.edit(
-            key, original, Update(edit_request.constraint), inner_argdiffs
+            key, original, edit_request, inner_argdiffs
         )
 
         # Transition lattice over (pre_check, post_check):
@@ -131,12 +133,13 @@ class MaskCombinator(Generic[R], GenerativeFunction[Any]):
             + t_to_t * weight
         )
 
-        assert isinstance(bwd, Update)
+        if isinstance(bwd, Update):
+            bwd = Update(bwd.constraint.mask(post_check))
         return (
             MaskTrace.build(self, new_inner, post_check),
             final_weight,
             Mask.build(Diff.tree_primal(retdiff), post_check),
-            Update(bwd.constraint.mask(post_check)),
+            bwd,
         )
 
 

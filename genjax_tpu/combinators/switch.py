@@ -142,7 +142,9 @@ class Switch(Generic[R], GenerativeFunction[R]):
         edit_request: EditRequest,
         argdiffs: Argdiffs,
     ) -> tuple[SwitchTrace[R], Weight, Retdiff, EditRequest]:
-        if not isinstance(edit_request, Update):
+        from genjax_tpu.core.requests import Regenerate
+
+        if not isinstance(edit_request, (Update, Regenerate)):
             raise NotSupportedEditRequest(edit_request)
         assert isinstance(trace, SwitchTrace)
         idx_diff, branch_argdiffs = argdiffs[0], argdiffs[1:]

@@ -51,6 +51,14 @@ def mh(
 
     Returns `(new_trace, accepted)`; realized with dense `where` selects
     (both branches present, no control flow) — the TPU-native MH step.
+
+    Block moves through `Switch`: regenerating an address that feeds a
+    switch index (e.g. a mixture's `"mixture_component"`) re-simulates
+    the entire selected branch, because the index is dynamic under jit.
+    The selection must therefore cover the branch subtree too —
+    `S["m", "mixture_component"] | S["m", "component_sample", ...]` —
+    or the acceptance ratio misses the fresh branch's proposal density
+    and the sampler is biased (see tests/inference/test_mixture_mh.py).
     """
     k_move, k_accept = jax.random.split(key)
     proposed, w, _, _ = request.edit(
