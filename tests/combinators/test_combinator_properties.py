@@ -170,6 +170,42 @@ class TestSwitchIdentities:
         )
         assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
 
+    @settings(max_examples=8, deadline=None)
+    @given(st.integers(min_value=0, max_value=1), seeds)
+    def test_regenerate_branch_site_joint_delta(self, idx, seed):
+        """Regenerate with an unchanged index delegates to the active
+        branch; weight is the joint delta."""
+        sw = g.switch(branch_lo, branch_hi)
+        args = (jnp.array(idx), (), ())
+        tr = sw.simulate(jax.random.key(seed), args)
+        addr = "lo" if idx == 0 else "hi"
+        new_tr, w, _, _ = sw.edit(
+            jax.random.key(seed + 1),
+            tr,
+            Regenerate(Selection.at[addr]),
+            Diff.no_change(args),
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.integers(min_value=0, max_value=1), seeds)
+    def test_regenerate_with_index_flip_joint_delta(self, idx, seed):
+        """Regenerate under an index-changing argdiff fresh-simulates the
+        new branch; weight is still the joint delta."""
+        sw = g.switch(branch_lo, branch_hi)
+        tr = sw.simulate(jax.random.key(seed), (jnp.array(idx), (), ()))
+        new_tr, w, _, _ = sw.edit(
+            jax.random.key(seed + 1),
+            tr,
+            Regenerate(Selection.all()),
+            (
+                Diff.unknown_change(jnp.array(1 - idx)),
+                Diff.no_change(()),
+                Diff.no_change(()),
+            ),
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
+
     @settings(max_examples=10, deadline=None)
     @given(st.integers(min_value=0, max_value=1), seeds)
     def test_index_flip_update_weight(self, idx, seed):
@@ -189,5 +225,38 @@ class TestSwitchIdentities:
                 Diff.no_change(()),
                 Diff.no_change(()),
             ),
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
+
+
+class TestComposedIdentities:
+    """The composed combinators (or_else = switch+contramap, repeat =
+    vmap+dimap) must inherit the same weight identities."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.booleans(), seeds)
+    def test_or_else_regenerate(self, flag, seed):
+        oe = g.or_else(branch_lo, branch_hi)
+        args = (jnp.array(flag), (), ())
+        tr = oe.simulate(jax.random.key(seed), args)
+        addr = "lo" if flag else "hi"
+        new_tr, w, _, _ = oe.edit(
+            jax.random.key(seed + 1),
+            tr,
+            Regenerate(Selection.at[addr]),
+            Diff.no_change(args),
+        )
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
+
+    @settings(max_examples=8, deadline=None)
+    @given(finite, seeds)
+    def test_repeat_regenerate(self, x, seed):
+        rep = g.repeat(n=4)(kernel)
+        tr = rep.simulate(jax.random.key(seed), (x,))
+        new_tr, w, _, _ = rep.edit(
+            jax.random.key(seed + 1),
+            tr,
+            Regenerate(Selection.at["z"]),
+            Diff.no_change((x,)),
         )
         assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
