@@ -168,9 +168,11 @@ def main():
             y = jax.lax.scan(lambda y, _: (y + 1.0, None), x, None, length=NN)[0]
             return jnp.sum(y)  # scalar output; forces the whole chain
 
-        t_den = max(timeit(density_chain, ws, scales, iters=1) - t_floor, 1e-9) / NN
+        # iters=3: a one-shot timing occasionally eats an extra tunnel
+        # stall and under-reports by ~1.5x; three iterations average it out.
+        t_den = max(timeit(density_chain, ws, scales, iters=3) - t_floor, 1e-9) / NN
         flat = ws.reshape(-1)
-        t_cpy = max(timeit(copy_chain, flat, iters=1) - t_floor, 1e-9) / NN
+        t_cpy = max(timeit(copy_chain, flat, iters=3) - t_floor, 1e-9) / NN
         den_gbs = KD * D * 4 / t_den / 1e9
         roof_gbs = 2 * flat.size * 4 / t_cpy / 1e9
         log(
