@@ -260,6 +260,33 @@ def _eval_eqns_pure(key, eqns, env: _Env, invars, flat_args, outvars):
     return [env.read(v) for v in outvars]
 
 
+def _jvp_through_bind(primitive, subfuns, params, flat_primals, flat_tangents):
+    """JVP of `primitive.bind(*subfuns, *primals, **params)` — the generic
+    rule for call-like equations whose JVP lives behind bind dispatch."""
+    import numpy as np
+    from jax.dtypes import float0
+
+    def _bind(*p):
+        return primitive.bind(*subfuns, *p, **params)
+
+    def _as_jvp_tangent(p, t):
+        if jnp.issubdtype(jnp.result_type(p), jnp.inexact):
+            return jnp.asarray(t, dtype=jnp.result_type(p))
+        return np.zeros(jnp.shape(p), dtype=float0)
+
+    tangents_in = tuple(
+        _as_jvp_tangent(p, t) for p, t in zip(flat_primals, flat_tangents)
+    )
+    primal_outs, tangent_outs = jax.jvp(_bind, tuple(flat_primals), tangents_in)
+    flat_p, tdef = jtu.tree_flatten(primal_outs)
+    flat_t = jtu.tree_leaves(tangent_outs)
+    flat_t = [
+        jnp.zeros_like(p) if (hasattr(t, "dtype") and t.dtype == float0) else t
+        for p, t in zip(flat_p, flat_t)
+    ]
+    return flat_p, jtu.tree_unflatten(tdef, flat_t)
+
+
 def _eval_eqns_dual(key, eqns, env: _Env, invars, flat_duals, outvars):
     """CPS dual-number walk: returns the final `Dual` of the single output.
 
@@ -339,17 +366,20 @@ def _eval_eqns_dual(key, eqns, env: _Env, invars, flat_duals, outvars):
                 primal_outs = eqn.primitive.bind(*subfuns, **params)
                 tangent_outs = jtu.tree_map(jnp.zeros_like, primal_outs)
             else:
-                if subfuns:
-                    raise NotImplementedError(
-                        f"ADEV: call primitive '{eqn.primitive}' with bind "
-                        "subfunctions is not supported in the dual walk."
+                jvp = None if subfuns else jax_ad.primitive_jvps.get(eqn.primitive)
+                if jvp is not None:
+                    primal_outs, tangent_outs = jvp(
+                        flat_primals, flat_tangents, **params
                     )
-                jvp = jax_ad.primitive_jvps.get(eqn.primitive)
-                if jvp is None:
-                    raise NotImplementedError(
-                        f"ADEV: no JVP rule for '{eqn.primitive}'."
+                else:
+                    # Call-like primitives (custom_jvp_call, custom_vjp_call,
+                    # …) carry traced subfunctions; differentiate through a
+                    # re-bind with `jax.jvp`, which dispatches to the
+                    # primitive's own JVP machinery. Integer/bool primals
+                    # take float0 tangents per JAX's JVP calling convention.
+                    primal_outs, tangent_outs = _jvp_through_bind(
+                        eqn.primitive, subfuns, params, flat_primals, flat_tangents
                     )
-                primal_outs, tangent_outs = jvp(flat_primals, flat_tangents, **params)
             if not eqn.primitive.multiple_results:
                 primal_outs = [primal_outs]
                 tangent_outs = [tangent_outs]
@@ -431,7 +461,7 @@ class Expectation(Pytree):
         return self.prog.jvp_estimate(key, dual_tree, lambda v: v)
 
     def estimate(self, key: PRNGKey, args):
-        tangents = jtu.tree_map(lambda _: 0.0, args)
+        tangents = jtu.tree_map(lambda x: jnp.zeros_like(x, dtype=jnp.result_type(x, jnp.float32)), args)
         return self.jvp_estimate(key, Dual.dual_tree(args, tangents)).primal
 
     def grad_estimate(self, key: PRNGKey, primals: tuple):

@@ -5,6 +5,28 @@ REINFORCE, flip enumeration (sequential + parallel), flip
 measure-valued derivative, categorical enumeration, normal/mv-normal
 reparameterization, uniform, beta-implicit, baseline variance reduction,
 and cost accumulation — all built on native JAX samplers/densities.
+
+Beyond the reference (`adev/core.py:159-163` raises on every non-reparam
+strategy under `vmap`): every strategy here is **vmap-sound**. When a
+sample site is vectorized (e.g. a guide inside `ImportanceK`'s particle
+vmap), the batching rule rebinds the site with a batched strategy:
+
+* `REINFORCE` batches exactly — one continuation call on the whole batch;
+  the score term sums the per-site `d log p` contributions (each site's
+  contribution keeps the standard single-sample estimator form, so the
+  batched estimator is unbiased).
+* Enumeration strategies (`FlipEnum`, `FlipEnumParallel`,
+  `CategoricalEnumParallel`) batch via **per-site Rao-Blackwellization**:
+  exact joint enumeration over n sites is exponential, so each site is
+  enumerated exactly while the other sites hold their sampled values —
+  n·|support| continuation calls, each on a full batch (O(n²·|support|)
+  work; prefer `reinforce` for very large batches). Unbiased; reduces to
+  exact enumeration at batch size 1.
+* `FlipMVD` batches the measure-valued derivative per site with the
+  shared-sample coupling (n pure-continuation calls).
+* `Baseline` composes: per-site baselines feed the batched REINFORCE
+  score term; for enumeration/MVD/reparam inners the baseline shift
+  cancels identically, so the baseline argument is dropped.
 """
 
 from typing import Any, Callable
@@ -25,6 +47,27 @@ from genjax_tpu.distributions.library import (
     _geometric_logpdf,
     _normal_logpdf,
 )
+
+
+def _to_leading_axis(x, dim, size: int):
+    """Normalize one batched argument to a leading batch axis of length
+    `size` (broadcasting unbatched arguments)."""
+    x = jnp.asarray(x)
+    if dim is None:
+        return jnp.broadcast_to(x, (size,) + jnp.shape(x))
+    return jnp.moveaxis(x, dim, 0)
+
+
+def _leading_batch(tree, tree_dims, size: int):
+    """Map `_to_leading_axis` over an argument tree and its dims tree."""
+    import jax.tree_util as jtu
+
+    return jtu.tree_map(
+        lambda x, d: _to_leading_axis(x, d, size),
+        list(tree),
+        list(tree_dims),
+        is_leaf=lambda d: d is None,
+    )
 
 
 @Pytree.dataclass
@@ -53,9 +96,76 @@ class REINFORCE(ADEVPrimitive):
         )
         return Dual(out_primal, out_tangent + out_primal * lp_tangent)
 
+    def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
+        return BatchedREINFORCE(self, None, dims, size)
+
 
 def reinforce(sample_func, logpdf_func) -> REINFORCE:
     return REINFORCE(sample_func, logpdf_func)
+
+
+@Pytree.dataclass
+class BatchedREINFORCE(ADEVPrimitive):
+    """`REINFORCE` lifted over a batch of `size` independent sites.
+
+    One continuation call on the whole batch; the score term accumulates
+    every site's `L · ∂ log p(v_i; θ_i)` (with an optional per-site
+    baseline `L - b_i`). Unbiased: each site's term is the standard
+    single-sample score-function estimator, and expectation is linear.
+    `dims` are the batch axes of `(key, *args)` at the vmapped call site —
+    `(key, baseline, *args)` when `with_baseline`.
+    """
+
+    original: REINFORCE
+    with_baseline: bool | None = Pytree.static()
+    dims: tuple = Pytree.static()
+    size: int = Pytree.static()
+
+    def sample(self, key, *args):
+        if self.with_baseline:
+            args = args[1:]
+            in_axes = (self.dims[0], *self.dims[2:])
+        else:
+            in_axes = self.dims
+        return jax.vmap(
+            lambda k, *a: self.original.sample_function(k, *a), in_axes=in_axes
+        )(key, *args)
+
+    def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
+        (_, kdual) = konts
+        primals = list(Dual.tree_primal(dual_tree))
+        tangents = list(Dual.tree_tangent(dual_tree))
+        arg_dims = list(self.dims[1:])
+        if self.with_baseline:
+            b_dim, arg_dims = arg_dims[0], arg_dims[1:]
+            (b,), primals = primals[:1], primals[1:]
+            tangents = tangents[1:]
+            b = _to_leading_axis(b, b_dim, self.size)
+        else:
+            b = 0.0
+
+        key, k_draw = jax.random.split(key)
+        draw_keys = jax.random.split(k_draw, self.size)
+        v = jax.vmap(self.original.sample_function, in_axes=(0, *arg_dims))(
+            draw_keys, *primals
+        )
+        out_dual = kdual(key, Dual.tree_pure(v))
+        (out_primal,), (out_tangent,) = Dual.tree_unzip(out_dual)
+
+        def weighted_total_logpdf(*args):
+            site_lps = jax.vmap(
+                self.original.differentiable_logpdf, in_axes=(0, *arg_dims)
+            )(v, *args)
+            # Per-site weighting happens inside the differentiated total so
+            # one JVP yields Σ_i (L - b_i) ∂logp_i. The weights are
+            # constants w.r.t. the JVP (stop_gradient-free because they
+            # enter as closure values, not jvp inputs).
+            return jnp.sum((out_primal - b) * site_lps)
+
+        _, score_tangent = jax.jvp(
+            weighted_total_logpdf, tuple(primals), tuple(tangents)
+        )
+        return Dual(out_primal, out_tangent + score_tangent)
 
 
 @Pytree.dataclass
@@ -84,8 +194,70 @@ class FlipEnum(ADEVPrimitive):
         )
         return Dual(out_primal, out_tangent)
 
+    def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
+        return BatchedFlipEnum(self, dims, size)
+
 
 flip_enum = FlipEnum()
+
+
+@Pytree.dataclass
+class BatchedFlipEnum(ADEVPrimitive):
+    """Per-site Rao-Blackwellized enumeration over a batch of Bernoulli
+    sites. Exact joint enumeration over n sites costs 2^n continuation
+    calls; instead each site is enumerated exactly with the others held at
+    their sampled values (2n continuation calls, shared downstream
+    randomness):
+
+        primal  = mean_i [ p_i·L(b|b_i=T) + (1-p_i)·L(b|b_i=F) ]
+        tangent = mean_i [ p_i·L̇_T,i + (1-p_i)·L̇_F,i ]
+                  + Σ_i ṗ_i·(L_T,i - L_F,i)
+
+    Both terms are unbiased: `L_T,i - L_F,i` is a one-sample estimate of
+    ∂E/∂p_i (conditioned on b_{-i} ~ their marginals), and each bracket in
+    the mean is an unbiased estimate of E[L] / E[L̇]. At n=1 this *is*
+    exact enumeration.
+    """
+
+    original: ADEVPrimitive
+    dims: tuple = Pytree.static()
+    size: int = Pytree.static()
+
+    def sample(self, key, *args):
+        return jax.vmap(self.original.sample, in_axes=self.dims)(key, *args)
+
+    def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
+        (_, kdual) = konts
+        (p_primal,) = Dual.tree_primal(dual_tree)
+        (p_tangent,) = Dual.tree_tangent(dual_tree)
+        (p_dim,) = self.dims[1:]
+        n = self.size
+        p = _to_leading_axis(p_primal, p_dim, n)
+        p_dot = _to_leading_axis(p_tangent, p_dim, n)
+
+        key, k_draw = jax.random.split(key)
+        b = jax.random.bernoulli(k_draw, p)
+        site = jnp.eye(n, dtype=bool)
+        candidates = jnp.concatenate(
+            [
+                jnp.where(site, True, b[None, :]),
+                jnp.where(site, False, b[None, :]),
+            ],
+            axis=0,
+        )  # [2n, n]
+
+        out = jax.vmap(
+            lambda bb: kdual(key, Dual(bb, jnp.zeros(bb.shape)))
+        )(candidates)
+        (out_p,), (out_t,) = Dual.tree_unzip(out)
+        L_true, L_false = out_p[:n], out_p[n:]
+        Ldot_true, Ldot_false = out_t[:n], out_t[n:]
+
+        primal = jnp.mean(p * L_true + (1.0 - p) * L_false)
+        tangent = jnp.mean(p * Ldot_true + (1.0 - p) * Ldot_false) + jnp.sum(
+            p_dot * (L_true - L_false)
+        )
+        return Dual(primal, tangent)
 
 
 @Pytree.dataclass
@@ -108,8 +280,48 @@ class FlipMVD(ADEVPrimitive):
         est = jnp.where(b, 1.0, -1.0) * (other - b_primal) * -1.0
         return Dual(b_primal, b_tangent + est * p_tangent)
 
+    def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
+        return BatchedFlipMVD(self, dims, size)
+
 
 flip_mvd = FlipMVD()
+
+
+@Pytree.dataclass
+class BatchedFlipMVD(ADEVPrimitive):
+    """Per-site measure-valued derivative over a batch of Bernoulli sites
+    with the shared-sample coupling: one dual continuation call at the
+    sampled batch, plus n pure calls with one site flipped each —
+    `∂E/∂p_i` estimated by `±(L(b) - L(b with i flipped))`."""
+
+    original: ADEVPrimitive
+    dims: tuple = Pytree.static()
+    size: int = Pytree.static()
+
+    def sample(self, key, *args):
+        return jax.vmap(self.original.sample, in_axes=self.dims)(key, *args)
+
+    def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
+        (kpure, kdual) = konts
+        (p_primal,) = Dual.tree_primal(dual_tree)
+        (p_tangent,) = Dual.tree_tangent(dual_tree)
+        (p_dim,) = self.dims[1:]
+        n = self.size
+        p = _to_leading_axis(p_primal, p_dim, n)
+        p_dot = _to_leading_axis(p_tangent, p_dim, n)
+
+        key, k_draw = jax.random.split(key)
+        b = jax.random.bernoulli(k_draw, p)
+        out = kdual(key, Dual(b, jnp.zeros(b.shape)))
+        (L,), (L_dot,) = Dual.tree_unzip(out)
+
+        site = jnp.eye(n, dtype=bool)
+        flipped = jnp.where(site, ~b[None, :], b[None, :])  # [n, n]
+        others = jax.vmap(lambda bb: kpure(key, bb))(flipped)  # [n]
+        # ∂E/∂p_i ≈ L(b_i=T, ·) - L(b_i=F, ·): when b_i sampled True the
+        # flipped run supplies the False value, and vice versa.
+        est = jnp.where(b, L - others, others - L)
+        return Dual(L, L_dot + jnp.sum(est * p_dot))
 
 
 @Pytree.dataclass
@@ -141,6 +353,9 @@ class FlipEnumParallel(ADEVPrimitive):
             *jax.jvp(expectation, (p_primal, ret_primals), (p_tangent, ret_tangents))
         )
 
+    def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
+        return BatchedFlipEnum(self, dims, size)
+
 
 flip_enum_parallel = FlipEnumParallel()
 
@@ -170,7 +385,12 @@ class CategoricalEnumParallel(ADEVPrimitive):
         ret_primals, ret_tangents = jax.vmap(run)(sub_keys, idxs)
 
         def expectation(probs, rets):
-            return jnp.sum(jax.nn.softmax(probs) * rets)
+            # `probs` are (unnormalized) probabilities — the same
+            # convention as `sample` (`categorical(key, log(probs))`) and
+            # the `vi.categorical_enum` density. (Using softmax here, as a
+            # logits convention would, silently disagrees with the
+            # sampler for any non-uniform probs.)
+            return jnp.sum(probs / jnp.sum(probs) * rets)
 
         return Dual(
             *jax.jvp(
@@ -180,8 +400,72 @@ class CategoricalEnumParallel(ADEVPrimitive):
             )
         )
 
+    def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
+        return BatchedCategoricalEnum(self, dims, size)
+
 
 categorical_enum_parallel = CategoricalEnumParallel()
+
+
+@Pytree.dataclass
+class BatchedCategoricalEnum(ADEVPrimitive):
+    """Per-site Rao-Blackwellized enumeration over a batch of categorical
+    sites (n sites × C categories → n·C continuation calls; others held at
+    their sampled values). See `BatchedFlipEnum` for the estimator
+    derivation; here the per-site weights are the normalized probability
+    rows and the ∂/∂probs term flows through the normalization JVP."""
+
+    original: ADEVPrimitive
+    dims: tuple = Pytree.static()
+    size: int = Pytree.static()
+
+    def sample(self, key, *args):
+        return jax.vmap(self.original.sample, in_axes=self.dims)(key, *args)
+
+    def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
+        (_, kdual) = konts
+        (probs_primal,) = Dual.tree_primal(dual_tree)
+        (probs_tangent,) = Dual.tree_tangent(dual_tree)
+        (probs_dim,) = self.dims[1:]
+        n = self.size
+        probs = _to_leading_axis(probs_primal, probs_dim, n)  # [n, C]
+        probs_dot = _to_leading_axis(probs_tangent, probs_dim, n)
+        c = probs.shape[-1]
+
+        key, k_draw = jax.random.split(key)
+        v = jax.random.categorical(key=k_draw, logits=jnp.log(probs), axis=-1)  # [n]
+
+        site_of = jnp.repeat(jnp.arange(n), c)  # [n*C]
+        cat_of = jnp.tile(jnp.arange(c), n)  # [n*C]
+        candidates = (
+            jnp.broadcast_to(v, (n * c, n))
+            .at[jnp.arange(n * c), site_of]
+            .set(cat_of)
+        )  # [n*C, n]
+
+        out = jax.vmap(
+            lambda vv: kdual(key, Dual(vv, jnp.zeros(vv.shape, dtype=vv.dtype)))
+        )(candidates)
+        (out_p,), (out_t,) = Dual.tree_unzip(out)
+        L = out_p.reshape(n, c)
+        L_dot = out_t.reshape(n, c)
+
+        def site_means(pr, rets):
+            pi = pr / jnp.sum(pr, axis=-1, keepdims=True)
+            return jnp.sum(pi * rets, axis=-1)  # [n]
+
+        # Pass-through term: mean over sites of the π-weighted L̇ rows.
+        pass_primal = jnp.mean(site_means(probs, L))
+        pass_tangent = jnp.mean(site_means(probs, L_dot))
+        # Probability term: Σ_i Σ_c π̇_{i,c} L_{i,c} (no 1/n — each site's
+        # partial derivative needs its own full contribution).
+        _, pi_dot = jax.jvp(
+            lambda pr: pr / jnp.sum(pr, axis=-1, keepdims=True),
+            (probs,),
+            (probs_dot,),
+        )
+        prob_tangent = jnp.sum(pi_dot * L)
+        return Dual(pass_primal, pass_tangent + prob_tangent)
 
 
 flip_reinforce = reinforce(
@@ -362,9 +646,37 @@ class Baseline(ADEVPrimitive):
         )
         return Dual(primal, tangent)
 
+    def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
+        key_dim, _b_dim, *arg_dims = dims
+        if isinstance(self.prim, REINFORCE):
+            # Per-site baselines enter the batched score term directly.
+            return BatchedREINFORCE(self.prim, True, dims, size)
+        # For enumeration / MVD / reparameterization strategies the
+        # baseline shift cancels identically (their probability terms sum
+        # difference-of-branches or Σ dπ = 0 weights; the primal shift is
+        # added back). Delegate to the inner batched strategy and drop the
+        # baseline argument.
+        inner = self.prim.get_batched_prim((key_dim, *arg_dims), size)
+        return _BaselineDropped(inner)
+
 
 def baseline(prim: ADEVPrimitive) -> Baseline:
     return Baseline(prim)
+
+
+@Pytree.dataclass
+class _BaselineDropped(ADEVPrimitive):
+    """Adapter: forward to a batched strategy, ignoring the (provably
+    inert) leading baseline argument."""
+
+    inner: ADEVPrimitive
+
+    def sample(self, key, *args):
+        return self.inner.sample(key, *args[1:])
+
+    def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
+        rest = list(dual_tree)[1:]
+        return self.inner.jvp_estimate(key, tuple(rest), konts)
 
 
 @Pytree.dataclass
@@ -381,6 +693,31 @@ class AddCost(ADEVPrimitive):
         (w_tangent,) = Dual.tree_tangent(dual_tree)
         l_dual = kdual(key, Dual(jnp.zeros(()), jnp.zeros(())))
         return Dual(w + l_dual.primal, w_tangent + l_dual.tangent)
+
+    def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
+        return BatchedAddCost(dims, size)
+
+
+@Pytree.dataclass
+class BatchedAddCost(ADEVPrimitive):
+    """`add_cost` over a batch: every site's cost accumulates once."""
+
+    dims: tuple = Pytree.static()
+    size: int = Pytree.static()
+
+    def sample(self, key, *args):
+        (w,) = args
+        return _to_leading_axis(w, self.dims[1], self.size)
+
+    def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
+        (_, kdual) = konts
+        (w,) = Dual.tree_primal(dual_tree)
+        (w_tangent,) = Dual.tree_tangent(dual_tree)
+        w = _to_leading_axis(w, self.dims[1], self.size)
+        w_tangent = _to_leading_axis(w_tangent, self.dims[1], self.size)
+        zero = jnp.zeros((self.size,))
+        l_dual = kdual(key, Dual(zero, zero))
+        return Dual(jnp.sum(w) + l_dual.primal, jnp.sum(w_tangent) + l_dual.tangent)
 
 
 def add_cost(w):

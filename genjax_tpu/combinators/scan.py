@@ -171,12 +171,17 @@ class Scan(Generic[Carry, Y], GenerativeFunction[tuple[Carry, Y]]):
         return jnp.sum(scores), (c_final, ys)
 
     def project(self, key: PRNGKey, trace, selection: Selection) -> Weight:
+        from genjax_tpu.combinators.vmap import _check_indexable
+
         assert isinstance(trace, ScanTrace)
+        _check_indexable(selection, "Scan.project")
 
         def step(state, subtrace):
             key, idx = state
             sub_key = jax.random.fold_in(key, idx)
-            w = subtrace.project(sub_key, selection)
+            # Consume the integer step level of the address space, matching
+            # `edit_regenerate` and the trace's `get_choices()` layout.
+            w = subtrace.project(sub_key, selection(idx))
             return (key, idx + 1), w
 
         _, ws = jax.lax.scan(
@@ -236,6 +241,9 @@ class Scan(Generic[Carry, Y], GenerativeFunction[tuple[Carry, Y]]):
         )
 
     def edit_regenerate(self, key, trace, selection: Selection, argdiffs):
+        from genjax_tpu.combinators.vmap import _check_indexable
+
+        _check_indexable(selection, "Scan.edit_regenerate")
         new_trace, w, retval, bwds = self._rescan_edit(
             key, trace, lambda idx: Regenerate(selection(idx)), argdiffs
         )

@@ -176,7 +176,29 @@ class Switch(Generic[R], GenerativeFunction[R]):
             # constrained site (caught by
             # tests/combinators/test_combinator_properties.py).
             weight = score - trace.get_score()
-        bwd_request = rets[0][3]
+            # The reverse of an index move re-constrains the old branch's
+            # choices wholesale (applied together with argdiffs restoring
+            # the old index).
+            bwd_request = Update(trace.get_choices())
+        else:
+            # Same-branch edit: pick the executed branch's backward
+            # request. `tree_choose` requires the branch requests to share
+            # one tree structure; heterogeneous branches get an explicit
+            # unsupported sentinel instead of branch 0's (wrong) request.
+            import jax.tree_util as jtu
+
+            from genjax_tpu.core.requests import UnsupportedBackwardRequest
+
+            bwds = [t[3] for t in rets]
+            structures = {jtu.tree_structure(b) for b in bwds}
+            if len(structures) == 1:
+                bwd_request = tree_choose(new_idx, bwds)
+            else:
+                bwd_request = UnsupportedBackwardRequest(
+                    "Switch branches produced structurally different "
+                    "backward requests; reverse this move by re-simulating "
+                    "or constraining the old choices explicitly."
+                )
         return (
             SwitchTrace(self, primals, subtraces, retval, score),
             weight,

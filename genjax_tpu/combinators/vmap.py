@@ -35,6 +35,26 @@ from genjax_tpu.core.typing import InAxes, IntArray, PRNGKey
 R = TypeVar("R")
 
 
+def _check_indexable(selection: Selection, where: str) -> None:
+    """Raise on selections that can never address into an indexed (lane /
+    step) address space — a silent no-op there is a biased always-accept
+    MH move waiting to happen."""
+    from genjax_tpu.core.choice_map import (
+        NoneSel,
+        statically_unmatchable_at_index_level,
+    )
+
+    if not isinstance(selection, NoneSel) and statically_unmatchable_at_index_level(
+        selection
+    ):
+        raise ValueError(
+            f"{where}: selection {selection} cannot match the integer-"
+            "indexed address space of this combinator's trace. Address "
+            'lanes/steps explicitly — `Selection.at[..., "x"]` for every '
+            'index or `Selection.at[i, "x"]` for one.'
+        )
+
+
 @Pytree.dataclass
 class VmapTrace(Generic[R], Trace[R]):
     gen_fn: "Vmap[R]"
@@ -138,8 +158,12 @@ class Vmap(Generic[R], GenerativeFunction[R]):
 
     def project(self, key: PRNGKey, trace: Trace[R], selection: Selection) -> Weight:
         assert isinstance(trace, VmapTrace)
+        _check_indexable(selection, "Vmap.project")
         sub_keys = jax.random.split(key, trace.dim_length)
-        ws = jax.vmap(lambda k, t: t.project(k, selection))(sub_keys, trace.inner)
+        idxs = jnp.arange(trace.dim_length)
+        ws = jax.vmap(lambda k, i, t: t.project(k, selection(i)))(
+            sub_keys, idxs, trace.inner
+        )
         return jnp.sum(ws)
 
     # -- edit ------------------------------------------------------------------
@@ -184,18 +208,24 @@ class Vmap(Generic[R], GenerativeFunction[R]):
     ) -> tuple[VmapTrace[R], Weight, Retdiff, EditRequest]:
         from genjax_tpu.core.requests import Regenerate
 
+        _check_indexable(selection, "Vmap.edit_regenerate")
         primals = Diff.tree_primal(argdiffs)
         n = trace.dim_length
+        idxs = jnp.arange(n)
         sub_keys = jax.random.split(key, n)
 
-        def _edit(key, subtrace, args):
+        def _edit(key, idx, subtrace, args):
+            # Slice the selection per lane: a `VmapTrace`'s addresses nest
+            # under the integer lane index (matching `get_choices()` and
+            # `Scan`'s address space), so `S[i, "x"]` targets lane i only
+            # and `S[..., "x"]` targets every lane.
             new_sub, w, rd, bwd = self.gen_fn.edit(
-                key, subtrace, Regenerate(selection), Diff.unknown_change(args)
+                key, subtrace, Regenerate(selection(idx)), Diff.unknown_change(args)
             )
             return new_sub, w, Diff.tree_primal(rd)
 
-        new_subs, ws, retvals = jax.vmap(_edit, in_axes=(0, 0, self.in_axes))(
-            sub_keys, trace.inner, primals
+        new_subs, ws, retvals = jax.vmap(_edit, in_axes=(0, 0, 0, self.in_axes))(
+            sub_keys, idxs, trace.inner, primals
         )
         map_tr = VmapTrace.build(self, new_subs, primals, n)
         return (

@@ -32,7 +32,8 @@ from jax import Array
 
 from genjax_tpu.core.mask import Mask
 from genjax_tpu.core.pytree import Pytree
-from genjax_tpu.core.typing import Flag, IntArray
+from genjax_tpu.core.staging import FlagOp
+from genjax_tpu.core.typing import Flag, IntArray, static_check_is_concrete
 
 T = TypeVar("T")
 K_addr = TypeVar("K_addr")
@@ -52,43 +53,53 @@ ExtendedStaticAddress = (
 _full_slice = slice(None, None, None)
 
 
-def _drop_prefix(dynamic_components: list) -> list:
-    prefix_end = 0
-    for comp in dynamic_components:
-        if isinstance(comp, int) or (isinstance(comp, Array) and comp.shape == ()):
-            prefix_end += 1
-        else:
-            break
-    return dynamic_components[prefix_end:]
+def _is_scalar_component(comp) -> bool:
+    return isinstance(comp, int) or (isinstance(comp, Array) and comp.ndim == 0)
+
+
+def _is_full_slice(comp) -> bool:
+    return isinstance(comp, slice) and comp == _full_slice
 
 
 def _validate_addr(
     addr: tuple[AddressComponent, ...], allow_partial_slice: bool = False
 ) -> tuple[AddressComponent, ...]:
-    """Validate address structure: scalar components, optionally one
-    partial slice / non-scalar array, then only full slices
-    (reference `choice_map.py:699-749`)."""
-    dynamic_components = [c for c in addr if isinstance(c, (slice, int, Array))]
-    if dynamic_components:
-        remaining = _drop_prefix(dynamic_components)
-        if len(remaining) > 0:
-            first = remaining[0]
-            if isinstance(first, Array) and first.shape != ():
-                remaining = remaining[1:]
-            elif (
-                allow_partial_slice
-                and isinstance(first, slice)
-                and first != _full_slice
-            ):
-                remaining = remaining[1:]
-        if not all(s == _full_slice for s in remaining):
-            if allow_partial_slice:
-                caveat = "an optional partial slice or Array, and then only full slices"
-            else:
-                caveat = "full slices"
+    """Check the shape grammar of an address's dynamic components.
+
+    Static string components are transparent. The dynamic components must
+    match, in order: a run of scalars (ints / 0-d arrays); at most one
+    "fan-out" component (a non-scalar index array — or a partial slice
+    when `allow_partial_slice`); then only full slices. This is a
+    single-pass state machine; anything else cannot be resolved against
+    dense leaf storage in one gather (capability parity with reference
+    `choice_map.py:699-749`, independently re-derived from the gather
+    grammar).
+    """
+    in_scalar_prefix = True
+    for comp in addr:
+        if isinstance(comp, (StaticAddressComponent, EllipsisType)):
+            # Strings are trie keys; `...` indexes every leaf identically.
+            continue
+        if in_scalar_prefix:
+            if _is_scalar_component(comp):
+                continue
+            in_scalar_prefix = False
+            # This component occupies the single fan-out slot if eligible.
+            if isinstance(comp, Array):
+                continue
+            if allow_partial_slice and isinstance(comp, slice) and not _is_full_slice(comp):
+                continue
+            # Not fan-out-eligible: must already be a trailing full slice.
+        if not _is_full_slice(comp):
+            grammar = (
+                "scalars, then at most one index array or partial slice, "
+                "then full slices"
+                if allow_partial_slice
+                else "scalars, then full slices"
+            )
             raise ValueError(
-                f"Address must consist of scalar components, followed by "
-                f"{caveat}. Found: {dynamic_components}"
+                f"Unresolvable dynamic address {addr!r}: expected {grammar}; "
+                f"component {comp!r} breaks the grammar."
             )
     return addr
 
@@ -229,7 +240,7 @@ class ComplementSel(Selection):
                 return ComplementSel(s)
 
     def check(self) -> Flag:
-        return not self.s.check()
+        return FlagOp.not_(self.s.check())
 
     def get_subselection(self, addr) -> Selection:
         return ~self.s(addr)
@@ -254,9 +265,56 @@ class StaticSel(Selection):
     def get_subselection(self, addr) -> Selection:
         if isinstance(self.addr, EllipsisType):
             return self.s
+        if isinstance(addr, EllipsisType):
+            return self.s
+        if not static_check_is_concrete(addr):
+            # Traced address component (e.g. the step index inside
+            # `lax.scan` when a combinator slices a per-index selection):
+            # a string-keyed selection can never match an integer level;
+            # an integer-keyed one matches under a traced flag.
+            if isinstance(self.addr, StaticAddressComponent):
+                return Selection.none()
+            return MaskedSel.build(self.s, jnp.asarray(addr) == self.addr)
+        if isinstance(addr, Array):
+            # Concrete 0-d array: compare by value against integer keys.
+            if isinstance(self.addr, StaticAddressComponent):
+                return Selection.none()
+            return (
+                self.s if bool(jnp.asarray(addr) == self.addr) else Selection.none()
+            )
         if addr == self.addr:
             return self.s
         return Selection.none()
+
+
+@Pytree.dataclass(match_args=True)
+class MaskedSel(Selection):
+    """A selection gated by a (possibly traced) Boolean flag.
+
+    Produced when an integer-keyed selection (`S[1, "x"]`) is queried with
+    a traced index — e.g. when `Scan`/`Vmap` slice the selection per step
+    inside `lax.scan`/`vmap`. Consumers observe a traced `check()` and
+    lower to dense selects (`Distribution.edit_regenerate`,
+    `Distribution.project`)."""
+
+    s: Selection
+    flag: Flag
+
+    @staticmethod
+    def build(s: Selection, flag: Flag) -> Selection:
+        if FlagOp.concrete_true(flag):
+            return s
+        if FlagOp.concrete_false(flag):
+            return Selection.none()
+        if isinstance(s, NoneSel):
+            return s
+        return MaskedSel(s, flag)
+
+    def check(self) -> Flag:
+        return FlagOp.and_(self.flag, self.s.check())
+
+    def get_subselection(self, addr) -> Selection:
+        return MaskedSel.build(self.s(addr), self.flag)
 
 
 @Pytree.dataclass(match_args=True)
@@ -281,7 +339,7 @@ class AndSel(Selection):
                 return AndSel(a, b)
 
     def check(self) -> Flag:
-        return self.s1.check() and self.s2.check()
+        return FlagOp.and_(self.s1.check(), self.s2.check())
 
     def get_subselection(self, addr) -> Selection:
         return self.s1(addr) & self.s2(addr)
@@ -309,7 +367,7 @@ class OrSel(Selection):
                 return OrSel(a, b)
 
     def check(self) -> Flag:
-        return self.s1.check() or self.s2.check()
+        return FlagOp.or_(self.s1.check(), self.s2.check())
 
     def get_subselection(self, addr) -> Selection:
         return self.s1(addr) | self.s2(addr)
@@ -326,10 +384,45 @@ class ChmSel(Selection):
         return ChmSel(chm)
 
     def check(self) -> Flag:
-        return self.c.has_value()
+        v = self.c.get_value()
+        if v is None:
+            return False
+        if isinstance(v, Mask):
+            return v.primal_flag()
+        return True
 
     def get_subselection(self, addr) -> Selection:
         return self.c.get_inner_map(addr).get_selection()
+
+
+def statically_unmatchable_at_index_level(sel: Selection) -> bool:
+    """True when `sel(i)` is statically `NoneSel` for EVERY integer index
+    `i` — i.e. the selection cannot address into an indexed address space
+    (a `Scan` step level or `Vmap` lane level). `Scan`/`Vmap` raise on such
+    selections instead of silently regenerating/projecting nothing; use
+    `Selection.at[..., "addr"]` (wildcard over the index) or
+    `Selection.at[i, "addr"]` (a specific index) there."""
+    match sel:
+        case NoneSel():
+            return True
+        case AllSel() | LeafSel():
+            return False
+        case StaticSel(_, addr):
+            # A string key can never match an integer index level.
+            return isinstance(addr, StaticAddressComponent)
+        case OrSel(s1, s2):
+            return statically_unmatchable_at_index_level(
+                s1
+            ) and statically_unmatchable_at_index_level(s2)
+        case AndSel(s1, s2):
+            return statically_unmatchable_at_index_level(
+                s1
+            ) or statically_unmatchable_at_index_level(s2)
+        case MaskedSel(s, _):
+            return statically_unmatchable_at_index_level(s)
+        case _:
+            # ComplementSel / ChmSel / unknown: cannot decide statically.
+            return False
 
 
 SelectionBuilder = _SelectionBuilder()
@@ -552,9 +645,14 @@ class Choice(Generic[T], ChoiceMap):
 
     def filter(self, selection: Selection | Flag) -> ChoiceMap:
         if isinstance(selection, Selection):
-            if selection.check():
+            check = selection.check()
+            if FlagOp.concrete_true(check):
                 return self
-            return ChoiceMap.empty()
+            if FlagOp.concrete_false(check):
+                return ChoiceMap.empty()
+            # Traced selection check (MaskedSel / masked ChmSel): keep the
+            # value behind a traced Mask flag.
+            return Choice.build(Mask.build(self.v, check))
         masked = Mask.build(self.v, selection)
         return Choice.build(masked)
 

@@ -45,6 +45,23 @@ class Regenerate(PrimitiveEditRequest):
 
 
 @Pytree.dataclass(match_args=True)
+class UnsupportedBackwardRequest(EditRequest):
+    """A sentinel backward request for moves whose reverse cannot be
+    expressed as a single request (e.g. `Switch` edits whose branches
+    produce structurally different discards). The *forward* move and its
+    weight are valid; attempting to run this reverse move raises."""
+
+    reason: str = Pytree.static(default="")
+
+    def edit(self, key: PRNGKey, tr, argdiffs: Argdiffs):
+        from genjax_tpu.core.concepts import NotSupportedEditRequest
+
+        raise NotSupportedEditRequest(
+            f"This edit's backward request is not representable: {self.reason}"
+        )
+
+
+@Pytree.dataclass(match_args=True)
 class DiffAnnotate(Generic[ER], EditRequest):
     """Unsafe argdiff/retdiff coercion wrapper around another request."""
 

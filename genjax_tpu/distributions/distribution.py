@@ -165,7 +165,9 @@ class Distribution(Generic[R], GenerativeFunction[R]):
         selection: Selection,
         argdiffs: Argdiffs,
     ) -> tuple[Trace[R], Weight, Retdiff, EditRequest]:
-        check = () in selection
+        # `selection.check()` may be a traced flag (MaskedSel); don't force
+        # it through Python bool (`in` would).
+        check = selection.check()
         primals = Diff.tree_primal(argdiffs)
         if FlagOp.concrete_true(check):
             # Resample from the prior under new args: weight cancels except
@@ -198,9 +200,26 @@ class Distribution(Generic[R], GenerativeFunction[R]):
                 Update(ChoiceMap.empty()),
             )
         else:
-            raise NotImplementedError(
-                "Dynamic (traced) selection checks are not supported in "
-                "Distribution.edit_regenerate."
+            # Traced selection check (e.g. a per-index selection sliced
+            # inside `lax.scan`/`vmap`): compute both outcomes and select
+            # densely — the TPU-friendly realization (no host control
+            # flow; XLA fuses the select into the density pass).
+            old_v = trace.get_retval()
+
+            def _resample(key):
+                w, new_v = self.random_weighted(key, *primals)
+                return new_v, w
+
+            def _keep(key):
+                return old_v, self.estimate_logpdf(key, old_v, *primals)
+
+            new_v, new_score = FlagOp.cond(check, _resample, _keep, key)
+            new_trace = DistributionTrace(self, primals, new_v, new_score)
+            return (
+                new_trace,
+                new_score - trace.get_score(),
+                Diff.unknown_change(new_v),
+                Update(ChoiceMap.choice(old_v).mask(check)),
             )
 
     def edit(

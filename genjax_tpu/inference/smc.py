@@ -317,13 +317,13 @@ class Importance(Generic[R], SMCAlgorithm[R]):
         return self.target
 
     def run_smc(self, key: PRNGKey):
-        key, sub_key = jax.random.split(key)
+        k_prop, k_gen = jax.random.split(key)
         if self.q is not None:
-            log_weight, choice = self.q.random_weighted(sub_key, self.target)
-            tr, target_score = self.target.importance(key, choice)
+            log_weight, choice = self.q.random_weighted(k_prop, self.target)
+            tr, target_score = self.target.importance(k_gen, choice)
         else:
             log_weight = 0.0
-            tr, target_score = self.target.importance(key, ChoiceMap.empty())
+            tr, target_score = self.target.importance(k_gen, ChoiceMap.empty())
         return ParticleCollection(
             jtu.tree_map(lambda v: jnp.expand_dims(v, axis=0), tr),
             jnp.array([target_score - log_weight]),
@@ -331,12 +331,12 @@ class Importance(Generic[R], SMCAlgorithm[R]):
         )
 
     def run_csmc(self, key: PRNGKey, retained: ChoiceMap):
-        key, sub_key = jax.random.split(key)
+        k_prop, k_gen = jax.random.split(key)
         if self.q:
-            q_score = self.q.estimate_logpdf(sub_key, retained, self.target)
+            q_score = self.q.estimate_logpdf(k_prop, retained, self.target)
         else:
             q_score = 0.0
-        target_trace, target_score = self.target.importance(key, retained)
+        target_trace, target_score = self.target.importance(k_gen, retained)
         return ParticleCollection(
             jtu.tree_map(lambda v: jnp.expand_dims(v, axis=0), target_trace),
             jnp.array([target_score - q_score]),
@@ -359,41 +359,42 @@ class ImportanceK(Generic[R], SMCAlgorithm[R]):
         return self.target
 
     def run_smc(self, key: PRNGKey):
-        key, sub_key = jax.random.split(key)
-        sub_keys = jax.random.split(sub_key, self.k_particles)
+        k_prop, k_gen = jax.random.split(key)
+        prop_keys = jax.random.split(k_prop, self.k_particles)
+        gen_keys = jax.random.split(k_gen, self.k_particles)
         if self.q is not None:
             log_weights, choices = jax.vmap(self.q.random_weighted, in_axes=(0, None))(
-                sub_keys, self.target
+                prop_keys, self.target
             )
-            trs, target_scores = jax.vmap(self.target.importance)(sub_keys, choices)
+            trs, target_scores = jax.vmap(self.target.importance)(gen_keys, choices)
         else:
             log_weights = 0.0
             trs, target_scores = jax.vmap(self.target.importance, in_axes=(0, None))(
-                sub_keys, ChoiceMap.empty()
+                gen_keys, ChoiceMap.empty()
             )
         return ParticleCollection(
             trs, target_scores - log_weights, jnp.array(True)
         )
 
     def run_csmc(self, key: PRNGKey, retained: ChoiceMap):
-        key, sub_key = jax.random.split(key)
-        sub_keys = jax.random.split(sub_key, self.k_particles - 1)
+        k_prop, k_ret, k_gen = jax.random.split(key, 3)
+        prop_keys = jax.random.split(k_prop, self.k_particles - 1)
         if self.q:
             log_scores, choices = jax.vmap(self.q.random_weighted, in_axes=(0, None))(
-                sub_keys, self.target
+                prop_keys, self.target
             )
-            retained_score = self.q.estimate_logpdf(key, retained, self.target)
+            retained_score = self.q.estimate_logpdf(k_ret, retained, self.target)
             stacked_choices = jtu.tree_map(_stack_retained, choices, retained)
             stacked_scores = jtu.tree_map(_stack_retained, log_scores, retained_score)
-            all_keys = jax.random.split(key, self.k_particles)
+            gen_keys = jax.random.split(k_gen, self.k_particles)
             target_traces, target_scores = jax.vmap(self.target.importance)(
-                all_keys, stacked_choices
+                gen_keys, stacked_choices
             )
         else:
             other_traces, other_scores = jax.vmap(
                 self.target.importance, in_axes=(0, None)
-            )(sub_keys, ChoiceMap.empty())
-            retained_trace, retained_score = self.target.importance(key, retained)
+            )(prop_keys, ChoiceMap.empty())
+            retained_trace, retained_score = self.target.importance(k_ret, retained)
             target_scores = _stack_retained(other_scores, retained_score)
             stacked_scores = 0.0
             target_traces = jtu.tree_map(_stack_retained, other_traces, retained_trace)
@@ -433,19 +434,22 @@ class ChangeTarget(Generic[R], SMCAlgorithm[R]):
         return ParticleCollection(new_particles, new_weights, jnp.array(True))
 
     def run_smc(self, key: PRNGKey) -> ParticleCollection[R]:
-        collection = self.prev.run_smc(key)
-        return self._reweight_collection(key, collection)
+        k_prev, k_rw = jax.random.split(key)
+        collection = self.prev.run_smc(k_prev)
+        return self._reweight_collection(k_rw, collection)
 
     def run_csmc(self, key: PRNGKey, retained: ChoiceMap) -> ParticleCollection[R]:
-        collection = self.prev.run_csmc(key, retained)
-        return self._reweight_collection(key, collection)
+        k_prev, k_rw = jax.random.split(key)
+        collection = self.prev.run_csmc(k_prev, retained)
+        return self._reweight_collection(k_rw, collection)
 
     def run_csmc_for_normalizing_constant(
         self, key: PRNGKey, latent_choices: ChoiceMap, w: Weight
     ) -> Weight:
         """Low-variance reciprocal normalizing constant estimation for
         variational objectives (reference `smc.py:432-465`)."""
-        collection = self.prev.run_csmc(key, latent_choices)
+        k_prev, k_rw = jax.random.split(key)
+        collection = self.prev.run_csmc(k_prev, latent_choices)
 
         def _reweight(key, particle, weight):
             latents = self.prev.get_final_target().filter_to_unconstrained(
@@ -455,7 +459,7 @@ class ChangeTarget(Generic[R], SMCAlgorithm[R]):
             this_weight = new_score - particle.get_score() + weight
             return this_weight
 
-        sub_keys = jax.random.split(key, self.get_num_particles())
+        sub_keys = jax.random.split(k_rw, self.get_num_particles())
         new_weights = jax.vmap(_reweight)(
             sub_keys, collection.get_particles(), collection.get_log_weights()
         )
@@ -527,9 +531,10 @@ class SMCDriver(Generic[R], Pytree):
             ad = (
                 Diff.no_change(particle.get_args()) if argdiffs is None else argdiffs
             )
-            discarded_score = particle.project(key, sel)
+            k_proj, k_upd = jax.random.split(key)
+            discarded_score = particle.project(k_proj, sel)
             new_tr, w, _, _ = particle.get_gen_fn().update(
-                key, particle, constraint, ad
+                k_upd, particle, constraint, ad
             )
             return new_tr, w + discarded_score
 

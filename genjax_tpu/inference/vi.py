@@ -83,23 +83,41 @@ geometric_reinforce = adev_distribution(
 
 GradientEstimate = Any
 
+# Each objective below is a factory returning `grad_estimate(key, args) ->
+# pytree`: an unbiased estimate of the gradient of a (negated) variational
+# objective w.r.t. `args`. The stochastic loss body is staged under
+# `@expectation`, so every guide sample site's ADEV strategy (REINFORCE /
+# enumeration / reparameterization) participates in the estimate.
+#
+# Derivations (re-derived for this build; the estimators are standard):
+#  * ELBO(q)   = E_q[log p(x,z) - log q(z)]  — the 1-particle log-Ẑ of
+#    importance sampling with q as proposal is exactly that integrand.
+#  * IWELBO_N  = E[log (1/N) Σ_i p(x,z_i)/q(z_i)]  (Burda et al. 2016) —
+#    the N-particle SIR log-Ẑ.
+#  * PWake     = E_{z~q*}[-log p(x,z)]  — wake-phase θ gradient of
+#    reweighted wake-sleep (Bornschein & Bengio 2015); the sampler q* is
+#    held fixed (non-differentiated keys), only the model score is
+#    differentiated.
+#  * QWake     = E_{z~q*}[-log q(z)]  — sleep/wake-phase φ gradient: fit
+#    the proposal density to samples from the posterior approximation.
+
 
 def ELBO(
     guide: SampleDistribution,
     make_target: Callable[..., Target[Any]],
 ) -> Callable[[PRNGKey, tuple], GradientEstimate]:
-    """Gradient estimator for the evidence lower bound: maximizes
-    `E_q[log p(x, z) - log q(z)]` (we return the gradient of the negative)."""
+    """Gradient estimator for the (negated) evidence lower bound."""
 
-    def grad_estimate(key: PRNGKey, args: tuple):
+    def grad_estimate(key: PRNGKey, args: tuple) -> GradientEstimate:
         @expectation
-        def _loss(*args):
-            target = make_target(*args)
-            guide_alg = Importance(target, guide)
-            w = guide_alg.estimate_normalizing_constant(key, target)
-            return -w
+        def negated_elbo(*target_args):
+            target = make_target(*target_args)
+            log_z_hat = Importance(target, guide).estimate_normalizing_constant(
+                key, target
+            )
+            return -log_z_hat
 
-        return _loss.grad_estimate(key, args)
+        return negated_elbo.grad_estimate(key, args)
 
     return grad_estimate
 
@@ -109,18 +127,19 @@ def IWELBO(
     make_target: Callable[..., Target[Any]],
     N: int,
 ) -> Callable[[PRNGKey, tuple], GradientEstimate]:
-    """Gradient estimator for the importance-weighted ELBO with N
-    particles."""
+    """Gradient estimator for the (negated) N-particle importance-weighted
+    ELBO. Tighter than ELBO for N > 1; the proposal's sample sites are
+    vmapped across particles, so every gradient strategy must be
+    vmap-sound (see `adev.primitives` batched strategies)."""
 
-    def grad_estimate(key: PRNGKey, args: tuple):
+    def grad_estimate(key: PRNGKey, args: tuple) -> GradientEstimate:
         @expectation
-        def _loss(*args):
-            target = make_target(*args)
-            guide = ImportanceK(target, proposal, k_particles=N)
-            w = guide.estimate_normalizing_constant(key, target)
-            return -w
+        def negated_iwelbo(*target_args):
+            target = make_target(*target_args)
+            sir = ImportanceK(target, proposal, k_particles=N)
+            return -sir.estimate_normalizing_constant(key, target)
 
-        return _loss.grad_estimate(key, args)
+        return negated_iwelbo.grad_estimate(key, args)
 
     return grad_estimate
 
@@ -129,19 +148,20 @@ def PWake(
     posterior_approx: SampleDistribution,
     make_target: Callable[..., Target[Any]],
 ) -> Callable[[PRNGKey, tuple], GradientEstimate]:
-    """Wake-phase model-parameter gradient (reweighted wake-sleep)."""
+    """Wake-phase model-parameter (θ) gradient of reweighted wake-sleep."""
 
-    def grad_estimate(key: PRNGKey, args: tuple):
-        key, sub_key1, sub_key2 = jax.random.split(key, 3)
+    def grad_estimate(key: PRNGKey, args: tuple) -> GradientEstimate:
+        k_draw = jax.random.fold_in(key, 1)
+        k_score = jax.random.fold_in(key, 2)
 
         @expectation
-        def _loss(*target_args):
+        def wake_theta_loss(*target_args):
             target = make_target(*target_args)
-            _, sample = posterior_approx.random_weighted(sub_key1, target)
-            tr, _ = target.importance(sub_key2, sample)
-            return -tr.get_score()
+            _, latents = posterior_approx.random_weighted(k_draw, target)
+            model_trace, _ = target.importance(k_score, latents)
+            return -model_trace.get_score()
 
-        return _loss.grad_estimate(key, args)
+        return wake_theta_loss.grad_estimate(key, args)
 
     return grad_estimate
 
@@ -151,18 +171,20 @@ def QWake(
     posterior_approx: SampleDistribution,
     make_target: Callable[..., Target[Any]],
 ) -> Callable[[PRNGKey, tuple], GradientEstimate]:
-    """Wake-phase proposal-parameter gradient (reweighted wake-sleep)."""
+    """Wake-phase proposal-parameter (φ) gradient of reweighted
+    wake-sleep: drives `proposal`'s density toward `posterior_approx`'s
+    samples."""
 
-    def grad_estimate(key: PRNGKey, args: tuple):
-        key, sub_key1, sub_key2 = jax.random.split(key, 3)
+    def grad_estimate(key: PRNGKey, args: tuple) -> GradientEstimate:
+        k_draw = jax.random.fold_in(key, 1)
+        k_density = jax.random.fold_in(key, 2)
 
         @expectation
-        def _loss(*target_args):
+        def wake_phi_loss(*target_args):
             target = make_target(*target_args)
-            _, sample = posterior_approx.random_weighted(sub_key1, target)
-            w = proposal.estimate_logpdf(sub_key2, sample, target)
-            return -w
+            _, latents = posterior_approx.random_weighted(k_draw, target)
+            return -proposal.estimate_logpdf(k_density, latents, target)
 
-        return _loss.grad_estimate(key, args)
+        return wake_phi_loss.grad_estimate(key, args)
 
     return grad_estimate

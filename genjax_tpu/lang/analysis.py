@@ -33,6 +33,7 @@ import jax.tree_util as jtu
 
 from genjax_tpu.core.primitives import InitialStylePrimitive, initial_style_bind
 from genjax_tpu.core.pytree import Const
+from genjax_tpu.core.typing import static_check_is_concrete
 from genjax_tpu.lang.interop import TraceHandler, handler_context
 
 site_p = InitialStylePrimitive("genjax_site")
@@ -164,16 +165,58 @@ def _analyze(source, args) -> SiteGraph:
 
 _CACHE: dict = {}
 
+# A concrete closure argument can steer Python control flow during staging
+# (e.g. `if bool(flag): x @ "a" else: y @ "b"`), so its VALUE is part of the
+# specialization identity, not just its aval. Values are fingerprinted up to
+# this many elements; a larger concrete leaf disables caching for safety
+# (branching on a huge concrete array is pathological but not impossible).
+_VALUE_FINGERPRINT_MAX_ELEMS = 128
+
+_UNCACHEABLE = object()
+
+
+def _aval_key(tree):
+    shapes = jax.eval_shape(lambda *a: a, *jtu.tree_leaves(tree))
+    return tuple((s.shape, str(s.dtype)) for s in shapes)
+
+
+def _value_fingerprint(tree):
+    """Hashable fingerprint of the concrete leaf values in `tree`, or
+    `_UNCACHEABLE` when a concrete leaf is too large to fingerprint.
+    Traced leaves contribute no value (they cannot steer Python control
+    flow), only their avals — which `_aval_key` already covers."""
+    import numpy as np
+
+    parts = []
+    for leaf in jtu.tree_leaves(tree):
+        if not static_check_is_concrete(leaf):
+            parts.append(None)
+            continue
+        arr = np.asarray(leaf)
+        if arr.size > _VALUE_FINGERPRINT_MAX_ELEMS:
+            return _UNCACHEABLE
+        parts.append((arr.shape, str(arr.dtype), arr.tobytes()))
+    return tuple(parts)
+
 
 def site_graph(source, args) -> SiteGraph:
-    """Cached site-graph analysis keyed on the source function and the
-    argument abstract values."""
-    avals = tuple(
-        (leaf.shape, str(leaf.dtype))
-        for leaf in jtu.tree_leaves(jax.eval_shape(lambda *a: a, *args))
+    """Cached site-graph analysis keyed on the full specialization identity
+    of `(source, args)`: the closure's function object (held strongly, so
+    `id` reuse after GC cannot alias two functions), the closure's dynamic
+    arguments (structure, avals, and concrete values — bound `self`s,
+    `partial_apply`ed arguments, or nested closures change the site graph),
+    and the call arguments' structure and avals."""
+    dyn_fingerprint = _value_fingerprint(source.dyn_args)
+    if dyn_fingerprint is _UNCACHEABLE:
+        return _analyze(source, args)
+    key = (
+        source.fn,
+        jtu.tree_structure(source.dyn_args),
+        _aval_key(source.dyn_args),
+        dyn_fingerprint,
+        jtu.tree_structure(args),
+        _aval_key(args),
     )
-    treedef = jtu.tree_structure(args)
-    key = (id(source.fn), len(source.dyn_args), treedef, avals)
     hit = _CACHE.get(key)
     if hit is None:
         hit = _analyze(source, args)

@@ -405,10 +405,14 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
     def project(self, key: PRNGKey, trace: Trace[Any], selection: Selection) -> Weight:
         assert isinstance(trace, StaticTrace)
         weight = jnp.zeros(())
-        for addr in trace.subtraces.keys():
+        for count, addr in enumerate(trace.subtraces.keys()):
             subprojection = selection(addr)
             subtrace = trace.get_subtrace(addr)
-            weight += subtrace.project(key, subprojection)
+            # Per-address key derivation (the same counter-`fold_in`
+            # discipline as the simulate/generate handlers): projection of
+            # density *estimates* may consume randomness per address.
+            sub_key = jax.random.fold_in(key, count)
+            weight += subtrace.project(sub_key, subprojection)
         return weight
 
     # -- edits -----------------------------------------------------------------

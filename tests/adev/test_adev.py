@@ -69,11 +69,29 @@ class TestEnumeration:
 
         probs = jnp.array([0.2, 0.3, 0.5])
         (grad,) = loss.grad_estimate(jax.random.key(0), (probs,))
-        # E = softmax-weighted? probs given as probabilities; strategy uses
-        # softmax(probs) internally for the expectation, so check against
-        # the JVP of that expression.
-        exact = jax.grad(lambda p: jnp.sum(jax.nn.softmax(p) * jnp.array([0.0, 1.0, 4.0])))(probs)
+        # `probs` are (unnormalized) probabilities — the sampler draws from
+        # probs/sum(probs), so the exact objective is the
+        # normalized-probability expectation.
+        exact = jax.grad(
+            lambda p: jnp.sum(p / jnp.sum(p) * jnp.array([0.0, 1.0, 4.0]))
+        )(probs)
         assert jnp.allclose(grad, exact, atol=1e-5)
+
+    def test_categorical_enum_matches_sampler_semantics(self):
+        """The enumeration weights must agree with the sampler's
+        distribution: estimate E[v] by brute-force sampling and compare to
+        the strategy's exact primal."""
+        probs = jnp.array([0.1, 0.6, 0.3])
+        vals = jnp.array([0.0, 1.0, 4.0])
+
+        @expectation
+        def loss(probs):
+            idx = categorical_enum_parallel(probs)
+            return vals[idx]
+
+        primal = loss.estimate(jax.random.key(0), (probs,))
+        exact = jnp.sum(probs / jnp.sum(probs) * vals)
+        assert jnp.allclose(primal, exact, atol=1e-6)
 
 
 class TestContinuous:

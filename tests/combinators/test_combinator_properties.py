@@ -124,7 +124,7 @@ class TestVmapIdentities:
         new_tr, w, _, _ = mapped.edit(
             jax.random.key(seed + 1),
             tr,
-            Regenerate(Selection.at["z"]),
+            Regenerate(Selection.at[..., "z"]),
             Diff.no_change((xs,)),
         )
         assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
@@ -256,7 +256,7 @@ class TestComposedIdentities:
         new_tr, w, _, _ = rep.edit(
             jax.random.key(seed + 1),
             tr,
-            Regenerate(Selection.at["z"]),
+            Regenerate(Selection.at[..., "z"]),
             Diff.no_change((x,)),
         )
         assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
