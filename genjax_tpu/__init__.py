@@ -8,6 +8,22 @@ native distribution library, vectorized + mesh-sharded inference
 for inference hot loops.
 
 Capability reference: genjax-community/genjax (see SURVEY.md).
+
+Quickstart — posterior inference on the README beta-bernoulli model:
+
+>>> import jax, jax.numpy as jnp
+>>> import genjax_tpu as gx
+>>> @gx.gen
+... def beta_bernoulli(a, b):
+...     p = gx.beta(a, b) @ "p"
+...     v = gx.flip(p) @ "v"
+...     return v
+>>> key = jax.random.key(0)
+>>> target = gx.Target(beta_bernoulli, (2.0, 2.0), gx.ChoiceMap.kw(v=True))
+>>> alg = gx.inference.smc.ImportanceK(target, k_particles=500)
+>>> _, posterior_sample = alg.random_weighted(key, target)
+>>> bool(0.0 < posterior_sample["p"] < 1.0)
+True
 """
 
 from genjax_tpu import adev, inference

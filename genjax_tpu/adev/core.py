@@ -482,7 +482,18 @@ class Expectation(Pytree):
 
 def expectation(source: Callable[..., Any]) -> Expectation:
     """Decorator: mark a stochastic program as an expectation-valued
-    objective with ADEV gradient estimation."""
+    objective with ADEV gradient estimation.
+
+    >>> import jax
+    >>> from genjax_tpu.adev import expectation, flip_enum
+    >>> @expectation
+    ... def loss(p):
+    ...     b = flip_enum(p)
+    ...     return jax.lax.cond(b, lambda: 1.0, lambda: 0.0)
+    >>> (grad,) = loss.grad_estimate(jax.random.key(0), (0.3,))
+    >>> print(round(float(grad), 4))  # E = p, exactly differentiated
+    1.0
+    """
     return Expectation(ADEVProgram(source))
 
 

@@ -133,7 +133,22 @@ class Selection(Pytree):
     Supports union (`|`), intersection (`&`), complement (`~`), nesting
     (`extend`), and querying: `sel(addr)` returns the sub-selection, while
     `sel[addr]` / `addr in sel` return whether the address is selected.
-    The wildcard `...` matches any single address component.
+    The wildcard `...` matches zero or one address components (so
+    `S[..., "z"]` addresses both a vectorized trie's flat `"z"` leaves and
+    the positional `(step, "z")` space of `Scan`/`Vmap` edits).
+
+    >>> from genjax_tpu import SelectionBuilder as S
+    >>> sel = S["x"] | S["sub", "y"]
+    >>> "x" in sel
+    True
+    >>> ("sub", "y") in sel
+    True
+    >>> ("sub", "z") in sel
+    False
+    >>> "x" in ~sel
+    False
+    >>> ("q", "z") in S[..., "z"]  # wildcard matches the one level "q"
+    True
     """
 
     # `Selection.at` builder is assigned after the class definition (kept out
@@ -260,11 +275,22 @@ class StaticSel(Selection):
                 return StaticSel(s, addr)
 
     def check(self) -> Flag:
+        if isinstance(self.addr, EllipsisType):
+            # `...` matches zero-or-one levels (see get_subselection), so a
+            # wildcard selection is checked against its inner selection.
+            return self.s.check()
         return False
 
     def get_subselection(self, addr) -> Selection:
         if isinstance(self.addr, EllipsisType):
-            return self.s
+            # The wildcard matches ZERO or ONE address components. The
+            # zero-level branch (`self.s(addr)`) reconciles the two views
+            # of vectorized traces: `Scan`/`Vmap` edits address steps
+            # positionally ((idx, "z") — the wildcard consumes idx), while
+            # their choice tries store "z" with batched leaves and no index
+            # level (filter/HMC-style access — the wildcard matches
+            # nothing). `S[..., "z"]` therefore works uniformly in both.
+            return OrSel.build(self.s, self.s(addr))
         if isinstance(addr, EllipsisType):
             return self.s
         if not static_check_is_concrete(addr):
@@ -487,6 +513,35 @@ class ChoiceMap(Pytree):
 
     Addresses mix static string components (trie dict keys — free at
     runtime) and dynamic integer-array components (dense gathers + Mask).
+
+    >>> import jax.numpy as jnp
+    >>> from genjax_tpu import ChoiceMap, SelectionBuilder as S
+    >>> chm = ChoiceMap.kw(x=1.0) | ChoiceMap.d({("sub", "y"): 2.0})
+    >>> float(chm["x"])
+    1.0
+    >>> float(chm["sub", "y"])
+    2.0
+    >>> ("sub", "y") in chm
+    True
+    >>> kept = chm.filter(S["x"])
+    >>> "x" in kept, ("sub", "y") in kept
+    (True, False)
+
+    The builder nests values at arbitrary addresses, and `|` merges with
+    left priority:
+
+    >>> C = ChoiceMap.builder
+    >>> c = C["a", "b"].set(3.0) | C["a", "b"].set(4.0)
+    >>> float(c["a", "b"])
+    3.0
+
+    Dynamic integer addresses store densely and answer membership with
+    `Mask` flags:
+
+    >>> c = C[jnp.array([2, 5]), "v"].set(jnp.array([10.0, 20.0]))
+    >>> sub = c.get_submap(5, "v").get_value()
+    >>> bool(sub.primal_flag()), float(sub.value)
+    (True, 20.0)
     """
 
     # -- abstract interface ----------------------------------------------------
@@ -824,23 +879,31 @@ class Or(ChoiceMap):
                 b = Mask.build(b)
                 return Choice.build(a | b)
             case (Switch(), Switch()):
-                raise Exception(
-                    f"Can't currently handle two switches in an Or: {c1}, {c2}"
-                )
+                # Two index-masked unions: keep the generic left-priority
+                # node (get_value/get_inner_map distribute correctly).
+                return Or(c1, c2)
             case (Switch(idx, chms), _):
                 return Switch.build(idx, [sub | c2 for sub in chms])
             case (_, Switch(idx, chms)):
                 return Switch.build(idx, [c1 | sub for sub in chms])
-            case (Choice(), _) | (_, Choice()):
-                raise Exception(f"Choice and non-Choice in Or: {c1}, {c2}")
             case _:
+                # Heterogeneous overlap (leaf vs subtree, masked leaf vs
+                # trie, …): the generic node applies left priority lazily.
                 return Or(c1, c2)
 
     def filter(self, selection: Selection | Flag) -> ChoiceMap:
         return self.c1.filter(selection) | self.c2.filter(selection)
 
     def get_value(self) -> Any:
-        return None
+        v1 = self.c1.get_value()
+        v2 = self.c2.get_value()
+        if v1 is None:
+            return v2
+        if v2 is None:
+            return v1
+        m = Mask.build(v1) | Mask.build(v2)
+        flag = m.primal_flag()
+        return m.value if flag is True else m
 
     def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
         return self.c1.get_inner_map(addr) | self.c2.get_inner_map(addr)

@@ -51,7 +51,15 @@ NoChange = _NoChange()
 
 @Pytree.dataclass(match_args=True)
 class Diff(Pytree):
-    """A value paired with a change tangent (`NoChange` or `UnknownChange`)."""
+    """A value paired with a change tangent (`NoChange` or `UnknownChange`).
+
+    >>> from genjax_tpu.core.diff import Diff
+    >>> argdiffs = Diff.no_change((1.0, 2.0))
+    >>> Diff.static_check_no_change(argdiffs)
+    True
+    >>> Diff.tree_primal(Diff.unknown_change((1.0, 2.0)))
+    (1.0, 2.0)
+    """
 
     primal: Any
     tangent: ChangeTangent = Pytree.static(default=UnknownChange)

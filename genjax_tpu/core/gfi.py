@@ -119,7 +119,25 @@ class Trace(Generic[R], Pytree):
 
 class GenerativeFunction(Generic[R], Pytree):
     """The type of generative functions: probabilistic programs exposing
-    `simulate`, `assess`, `generate`, `project`, and `edit` (the GFI)."""
+    `simulate`, `assess`, `generate`, `project`, and `edit` (the GFI).
+
+    Example — the full interface on a two-site model:
+
+    >>> import jax, jax.numpy as jnp
+    >>> import genjax_tpu as gx
+    >>> @gx.gen
+    ... def model(shift):
+    ...     x = gx.normal(shift, 1.0) @ "x"
+    ...     y = gx.normal(x, 1.0) @ "y"
+    ...     return y
+    >>> tr = model.simulate(jax.random.key(0), (0.0,))
+    >>> score, _ = model.assess(tr.get_choices(), (0.0,))
+    >>> bool(jnp.isclose(score, tr.get_score()))
+    True
+    >>> tr2, w = model.importance(jax.random.key(1), gx.ChoiceMap.kw(y=1.0), (0.0,))
+    >>> bool(jnp.isfinite(w))
+    True
+    """
 
     def __call__(self, *args, **kwargs) -> "GenerativeFunctionClosure[R]":
         return GenerativeFunctionClosure(self, args, kwargs)
@@ -137,18 +155,45 @@ class GenerativeFunction(Generic[R], Pytree):
     # -- abstract GFI ----------------------------------------------------------
 
     def simulate(self, key: PRNGKey, args: Arguments) -> Trace[R]:
-        """Sample from the distribution over samples and return a trace."""
+        """Sample from the distribution over samples and return a trace.
+
+        >>> import jax
+        >>> import genjax_tpu as gx
+        >>> tr = gx.normal.simulate(jax.random.key(0), (0.0, 1.0))
+        >>> bool(tr.get_score() < 0)  # a log density
+        True
+        """
         raise NotImplementedError
 
     def assess(self, sample: ChoiceMap, args: Arguments) -> tuple[Score, R]:
-        """Evaluate the log density of a fully-constraining sample."""
+        """Evaluate the log density of a fully-constraining sample.
+
+        >>> import jax.numpy as jnp
+        >>> import genjax_tpu as gx
+        >>> score, retval = gx.normal.assess(gx.ChoiceMap.choice(0.0), (0.0, 1.0))
+        >>> print(round(float(score), 4))  # log N(0; 0, 1)
+        -0.9189
+        """
         raise NotImplementedError
 
     def generate(
         self, key: PRNGKey, constraint: ChoiceMap, args: Arguments
     ) -> tuple[Trace[R], Weight]:
         """Importance-sample a trace consistent with `constraint`; the weight
-        is `log P(t)/Q(t; constraint)` (internal-proposal importance weight)."""
+        is `log P(t)/Q(t; constraint)` (internal-proposal importance weight).
+
+        >>> import jax, jax.numpy as jnp
+        >>> import genjax_tpu as gx
+        >>> @gx.gen
+        ... def m():
+        ...     x = gx.normal(0.0, 1.0) @ "x"
+        ...     _ = gx.normal(x, 1.0) @ "y"
+        >>> tr, w = m.generate(jax.random.key(0), gx.ChoiceMap.kw(y=0.5), ())
+        >>> float(tr.get_choices()["y"])  # constrained exactly
+        0.5
+        >>> bool(jnp.isfinite(w))  # w = log N(y=0.5; x, 1)
+        True
+        """
         raise NotImplementedError
 
     def project(
@@ -176,6 +221,26 @@ class GenerativeFunction(Generic[R], Pytree):
         constraint: ChoiceMap,
         argdiffs: Argdiffs,
     ) -> tuple[Trace[R], Weight, Retdiff, ChoiceMap]:
+        """Constrain addresses in `constraint` and reweight: returns
+        `(new_trace, weight, retdiff, discarded_choices)` with
+        `weight = new_score - old_score` when args are unchanged and every
+        touched address is constrained.
+
+        >>> import jax, jax.numpy as jnp
+        >>> import genjax_tpu as gx
+        >>> @gx.gen
+        ... def m():
+        ...     x = gx.normal(0.0, 1.0) @ "x"
+        ...     return x
+        >>> tr = m.simulate(jax.random.key(0), ())
+        >>> new_tr, w, _, discard = m.update(
+        ...     jax.random.key(1), tr, gx.ChoiceMap.kw(x=0.0), gx.Diff.no_change(())
+        ... )
+        >>> bool(jnp.isclose(w, new_tr.get_score() - tr.get_score()))
+        True
+        >>> bool(jnp.isclose(discard["x"], tr.get_choices()["x"]))
+        True
+        """
         request = Update(constraint)
         tr, w, rd, bwd = request.edit(key, trace, argdiffs)
         assert isinstance(bwd, Update), type(bwd)
@@ -184,97 +249,215 @@ class GenerativeFunction(Generic[R], Pytree):
     def importance(
         self, key: PRNGKey, constraint: ChoiceMap, args: Arguments
     ) -> tuple[Trace[R], Weight]:
+        """Alias for `generate` (Gen's traditional name)."""
         return self.generate(key, constraint, args)
 
     def propose(
         self, key: PRNGKey, args: Arguments
     ) -> tuple[ChoiceMap, Score, R]:
+        """Sample and return `(choices, score, retval)` — the shape needed
+        to use this function as a proposal distribution.
+
+        >>> import jax
+        >>> import genjax_tpu as gx
+        >>> chm, score, v = gx.normal.propose(jax.random.key(0), (0.0, 1.0))
+        >>> bool(chm.get_value() == v)
+        True
+        """
         tr = self.simulate(key, args)
         return tr.get_choices(), tr.get_score(), tr.get_retval()
 
     # -- postfix combinators -------------------------------------------------------
 
     def vmap(self, /, *, in_axes: InAxes = 0) -> "GenerativeFunction[R]":
+        """Vectorize over a leading batch axis; lane `i`'s choices nest
+        under integer address `i`.
+
+        >>> import jax, jax.numpy as jnp
+        >>> import genjax_tpu as gx
+        >>> @gx.gen
+        ... def cell(mu):
+        ...     return gx.normal(mu, 1.0) @ "z"
+        >>> batched = cell.vmap(in_axes=(0,))
+        >>> tr = batched.simulate(jax.random.key(0), (jnp.zeros(5),))
+        >>> tr.get_choices()[..., "z"].shape
+        (5,)
+        """
         import genjax_tpu.combinators as cmb
 
         return cmb.vmap(in_axes=in_axes)(self)
 
     def repeat(self, /, *, n: int) -> "GenerativeFunction[R]":
+        """Run `n` iid copies (vmap over a dummy axis).
+
+        >>> import jax
+        >>> import genjax_tpu as gx
+        >>> @gx.gen
+        ... def coin():
+        ...     return gx.flip(0.5) @ "b"
+        >>> tr = coin.repeat(n=4).simulate(jax.random.key(0), ())
+        >>> tr.get_retval().shape
+        (4,)
+        """
         import genjax_tpu.combinators as cmb
 
         return cmb.repeat(n=n)(self)
 
     def scan(self, /, *, n: int | None = None) -> "GenerativeFunction[Any]":
+        """Turn a `(carry, x) -> (carry, y)` kernel into a sequential
+        model over `lax.scan`; step `t`'s choices nest under address `t`.
+
+        >>> import jax
+        >>> import genjax_tpu as gx
+        >>> @gx.gen
+        ... def step(z, _x):
+        ...     z = gx.normal(0.9 * z, 0.5) @ "z"
+        ...     return (z, z)
+        >>> ssm = step.scan(n=10)
+        >>> tr = ssm.simulate(jax.random.key(0), (0.0, None))
+        >>> carry, ys = tr.get_retval()
+        >>> ys.shape
+        (10,)
+        """
         import genjax_tpu.combinators as cmb
 
         return cmb.scan(n=n)(self)
 
     def accumulate(self) -> "GenerativeFunction[Any]":
+        """`(carry, x) -> carry` kernel to `(carry, [x]) -> [carry]`
+        (all intermediate accumulations, initial value prepended)."""
         import genjax_tpu.combinators as cmb
 
         return cmb.accumulate()(self)
 
     def reduce(self) -> "GenerativeFunction[Any]":
+        """`(carry, x) -> carry` kernel to `(carry, [x]) -> carry`
+        (final accumulation only)."""
         import genjax_tpu.combinators as cmb
 
         return cmb.reduce()(self)
 
     def iterate(self, /, *, n: int) -> "GenerativeFunction[Any]":
+        """`a -> a` kernel applied `n` times; returns all `n+1` iterates.
+
+        >>> import jax
+        >>> import genjax_tpu as gx
+        >>> @gx.gen
+        ... def walk(z):
+        ...     return gx.normal(z, 1.0) @ "z"
+        >>> tr = walk.iterate(n=3).simulate(jax.random.key(0), (0.0,))
+        >>> tr.get_retval().shape
+        (4,)
+        """
         import genjax_tpu.combinators as cmb
 
         return cmb.iterate(n=n)(self)
 
     def iterate_final(self, /, *, n: int) -> "GenerativeFunction[Any]":
+        """`a -> a` kernel applied `n` times; returns the final value."""
         import genjax_tpu.combinators as cmb
 
         return cmb.iterate_final(n=n)(self)
 
     def masked_iterate(self) -> "GenerativeFunction[Any]":
+        """Variable-length `iterate`: per-step Boolean flags gate each
+        step's score (masked-out steps contribute zero)."""
         import genjax_tpu.combinators as cmb
 
         return cmb.masked_iterate()(self)
 
     def masked_iterate_final(self) -> "GenerativeFunction[Any]":
+        """Variable-length `iterate_final` (see `masked_iterate`)."""
         import genjax_tpu.combinators as cmb
 
         return cmb.masked_iterate_final()(self)
 
     def mask(self) -> "GenerativeFunction[Any]":
+        """Prepend a Boolean argument gating existence: when False the
+        score is 0 and the retval is a `Mask` with flag False.
+
+        >>> import jax, jax.numpy as jnp
+        >>> import genjax_tpu as gx
+        >>> @gx.gen
+        ... def m():
+        ...     return gx.normal(0.0, 1.0) @ "x"
+        >>> tr = m.mask().simulate(jax.random.key(0), (jnp.asarray(False),))
+        >>> float(tr.get_score())
+        0.0
+        """
         import genjax_tpu.combinators as cmb
 
         return cmb.mask(self)
 
     def or_else(self, gen_fn: "GenerativeFunction[Any]") -> "GenerativeFunction[Any]":
+        """Boolean branch: `(flag, self_args, else_args)` runs `self` when
+        the flag is true, `gen_fn` otherwise."""
         import genjax_tpu.combinators as cmb
 
         return cmb.or_else(self, gen_fn)
 
     def switch(self, *branches: "GenerativeFunction[Any]") -> "GenerativeFunction[Any]":
+        """Runtime branch selection: `(idx, args_0, ..., args_n)` executes
+        branch `idx` (this function is branch 0).
+
+        >>> import jax, jax.numpy as jnp
+        >>> import genjax_tpu as gx
+        >>> @gx.gen
+        ... def lo():
+        ...     return gx.normal(-10.0, 0.1) @ "v"
+        >>> @gx.gen
+        ... def hi():
+        ...     return gx.normal(10.0, 0.1) @ "v"
+        >>> sw = lo.switch(hi)
+        >>> tr = sw.simulate(jax.random.key(0), (jnp.asarray(1), (), ()))
+        >>> bool(tr.get_retval() > 0)
+        True
+        """
         import genjax_tpu.combinators as cmb
 
         return cmb.switch(self, *branches)
 
     def mix(self, *fns: "GenerativeFunction[Any]") -> "GenerativeFunction[Any]":
+        """Mixture: first argument is component logits; traces
+        `"mixture_component"` and `"component_sample"`."""
         import genjax_tpu.combinators as cmb
 
         return cmb.mix(self, *fns)
 
     def dimap(self, /, *, pre=lambda *args: args, post=lambda args, xformed, retval: retval, info=None):
+        """Transform arguments (`pre`) and return value (`post`) around
+        this function; diffs propagate through both under `edit`."""
         import genjax_tpu.combinators as cmb
 
         return cmb.dimap(pre=pre, post=post, info=info)(self)
 
     def map(self, f, *, info=None):
+        """Post-compose `f` onto the return value.
+
+        >>> import jax
+        >>> import genjax_tpu as gx
+        >>> @gx.gen
+        ... def m():
+        ...     return gx.normal(0.0, 1.0) @ "x"
+        >>> doubled = m.map(lambda v: 2.0 * v)
+        >>> tr = doubled.simulate(jax.random.key(0), ())
+        >>> bool(tr.get_retval() == 2.0 * tr.get_choices()["x"])
+        True
+        """
         import genjax_tpu.combinators as cmb
 
         return cmb.map(f, info=info)(self)
 
     def contramap(self, f, *, info=None):
+        """Pre-compose `f` onto the arguments."""
         import genjax_tpu.combinators as cmb
 
         return cmb.contramap(f, info=info)(self)
 
     def marginal(self, /, *, selection: Selection | None = None, algorithm=None):
+        """Marginalize to a distribution over the selected addresses
+        (density estimated with `algorithm`, default 1-particle
+        importance)."""
         from genjax_tpu.inference.sp import marginal
 
         selection = Selection.all() if selection is None else selection

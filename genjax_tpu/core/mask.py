@@ -35,6 +35,21 @@ class Mask(Generic[R], Pytree):
     A `Mask` with a `False` flag denotes data that must not participate in
     inference computations. A non-scalar flag denotes a vectorized mask: the
     flag's shape must be a prefix of every leaf's shape.
+
+    >>> import jax.numpy as jnp
+    >>> from genjax_tpu import Mask
+    >>> m = Mask(3.0, jnp.asarray(True))
+    >>> float(m.unmask())
+    3.0
+    >>> invalid = Mask(9.0, jnp.asarray(False))
+    >>> float(invalid.unmask(default=-1.0))
+    -1.0
+
+    `|` keeps the left operand where it is valid:
+
+    >>> merged = invalid | m
+    >>> float(merged.unmask()), bool(merged.primal_flag())
+    (3.0, True)
     """
 
     value: R

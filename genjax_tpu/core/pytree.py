@@ -253,6 +253,14 @@ class Const(Generic[T], Pytree):
 
     Allows passing a compile-time constant through traced code without it
     being lifted to a tracer (reference `pytree.py:234-295`).
+
+    >>> import jax
+    >>> from genjax_tpu.core.pytree import Const
+    >>> @jax.jit
+    ... def f(n):
+    ...     return jax.numpy.zeros(n.unwrap())  # static shape through jit
+    >>> f(Const(3)).shape
+    (3,)
     """
 
     const: Any = Pytree.static()

@@ -104,6 +104,12 @@ def tree_choose(idx: ArrayLike, pytrees: Sequence[R]) -> R:
     Acts like `pytrees[idx]` when `idx` is a concrete int (zero FLOPs);
     otherwise lowers to a leaf-wise `jnp.choose(mode="wrap")`, the standard
     TPU-friendly way to combine pre-computed branch outputs.
+
+    >>> import jax.numpy as jnp
+    >>> from genjax_tpu.core.staging import tree_choose
+    >>> picked = tree_choose(jnp.asarray(1), [(1.0, 10.0), (2.0, 20.0)])
+    >>> (float(picked[0]), float(picked[1]))
+    (2.0, 20.0)
     """
     pytrees = list(pytrees)
 

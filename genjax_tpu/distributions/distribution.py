@@ -305,7 +305,22 @@ def exact_density(
     logpdf: Callable[..., Score],
     name: str | None = None,
 ) -> ExactDensity[R]:
-    """Construct a singleton `ExactDensity` from `sample`/`logpdf` callables."""
+    """Construct a singleton `ExactDensity` from `sample`/`logpdf` callables.
+
+    >>> import jax, jax.numpy as jnp
+    >>> from genjax_tpu.distributions.distribution import exact_density
+    >>> rayleigh = exact_density(
+    ...     lambda key, s: s * jnp.sqrt(-2.0 * jnp.log(jax.random.uniform(key))),
+    ...     lambda v, s: jnp.log(v / s**2) - v**2 / (2 * s**2),
+    ...     "rayleigh",
+    ... )
+    >>> tr = rayleigh.simulate(jax.random.key(0), (1.0,))
+    >>> bool(tr.get_retval() > 0)
+    True
+    >>> score, _ = rayleigh.assess(tr.get_choices(), (1.0,))
+    >>> bool(jnp.isclose(score, tr.get_score()))
+    True
+    """
     if name is None:
         warnings.warn("You should supply a name argument to exact_density")
         name = "unknown"

@@ -59,6 +59,18 @@ def mh(
     `S["m", "mixture_component"] | S["m", "component_sample", ...]` —
     or the acceptance ratio misses the fresh branch's proposal density
     and the sampler is biased (see tests/inference/test_mixture_mh.py).
+
+    >>> import jax
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu.inference.mcmc import mh
+    >>> @gx.gen
+    ... def model():
+    ...     mu = gx.normal(0.0, 1.0) @ "mu"
+    ...     _ = gx.normal(mu, 1.0) @ "obs"
+    >>> tr, _ = model.importance(jax.random.key(0), gx.ChoiceMap.kw(obs=1.0), ())
+    >>> new_tr, accepted = mh(jax.random.key(1), tr, gx.Regenerate(gx.Selection.at["mu"]))
+    >>> bool(accepted) in (True, False)
+    True
     """
     k_move, k_accept = jax.random.split(key)
     proposed, w, _, _ = request.edit(
@@ -81,7 +93,23 @@ def mh_chain(
 ) -> tuple[Trace[R], Any]:
     """Run `n_steps` MH steps as a `lax.scan`; `collect(trace)` extracts
     the per-step statistic recorded along the chain (defaults to the
-    acceptance flag only)."""
+    acceptance flag only).
+
+    >>> import jax
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu.inference.mcmc import mh_chain
+    >>> @gx.gen
+    ... def model():
+    ...     mu = gx.normal(0.0, 1.0) @ "mu"
+    ...     _ = gx.normal(mu, 1.0) @ "obs"
+    >>> tr, _ = model.importance(jax.random.key(0), gx.ChoiceMap.kw(obs=1.0), ())
+    >>> final, mus = mh_chain(
+    ...     jax.random.key(1), tr, gx.Regenerate(gx.Selection.at["mu"]),
+    ...     100, collect=lambda t: t.get_choices()["mu"],
+    ... )
+    >>> mus.shape
+    (100,)
+    """
 
     def step(carry, step_key):
         trace = carry

@@ -140,6 +140,19 @@ class HMC(EditRequest):
     caller's (see `genjax_tpu.inference.mcmc.mh`).
 
     Neal (2011), eqns (5.18)-(5.20).
+
+    >>> import jax, jax.numpy as jnp
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu.inference.requests import HMC
+    >>> @gx.gen
+    ... def model():
+    ...     mu = gx.normal(0.0, 1.0) @ "mu"
+    ...     _ = gx.normal(mu, 1.0) @ "obs"
+    >>> tr, _ = model.importance(jax.random.key(0), gx.ChoiceMap.kw(obs=1.0), ())
+    >>> req = HMC(gx.Selection.at["mu"], jnp.array(0.1), L=5)
+    >>> new_tr, alpha, _, _ = req.edit(jax.random.key(1), tr, gx.Diff.no_change(()))
+    >>> bool(jnp.isfinite(alpha))
+    True
     """
 
     selection: Selection

@@ -54,7 +54,16 @@ def _stack_retained(arr1, arr2):
 
 def ess(log_weights: FloatArray) -> FloatArray:
     """Effective sample size of a log-weight vector:
-    `(sum w)^2 / sum w^2` computed stably in log space."""
+    `(sum w)^2 / sum w^2` computed stably in log space.
+
+    >>> import jax.numpy as jnp
+    >>> from genjax_tpu.inference.smc import ess
+    >>> print(round(float(ess(jnp.zeros(8))), 1))  # equal weights
+    8.0
+    >>> degenerate = jnp.array([0.0, -1e9, -1e9, -1e9])
+    >>> print(round(float(ess(degenerate)), 1))
+    1.0
+    """
     lw = log_weights - logsumexp(log_weights)
     return jnp.exp(-logsumexp(2.0 * lw))
 
@@ -346,7 +355,26 @@ class Importance(Generic[R], SMCAlgorithm[R]):
 
 @Pytree.dataclass
 class ImportanceK(Generic[R], SMCAlgorithm[R]):
-    """K-particle sampling importance resampling (SIR) from `target`."""
+    """K-particle sampling importance resampling (SIR) from `target`.
+
+    >>> import jax, jax.numpy as jnp
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu.inference import Target
+    >>> from genjax_tpu.inference.smc import ImportanceK
+    >>> @gx.gen
+    ... def model():
+    ...     x = gx.normal(0.0, 1.0) @ "x"
+    ...     _ = gx.normal(x, 1.0) @ "y"
+    >>> target = Target(model, (), gx.ChoiceMap.kw(y=1.0))
+    >>> alg = ImportanceK(target, k_particles=1000)
+    >>> lml = alg.log_marginal_likelihood_estimate(jax.random.key(0), target)
+    >>> exact = -0.25 - 0.5 * jnp.log(2 * jnp.pi * 2.0)  # log N(1; 0, sqrt 2)
+    >>> bool(jnp.abs(lml - exact) < 0.1)
+    True
+    >>> _, latents = alg.random_weighted(jax.random.key(1), target)
+    >>> "x" in latents
+    True
+    """
 
     target: Target[R]
     q: SampleDistribution | None = Pytree.field(default=None)
@@ -482,6 +510,23 @@ class SMCDriver(Generic[R], Pytree):
 
     This is new capability relative to the reference (which ships SIR/CSMC
     only); it composes the same proper-weighting ingredients.
+
+    >>> import jax
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu.inference import Target
+    >>> from genjax_tpu.inference.smc import SMCDriver
+    >>> @gx.gen
+    ... def model():
+    ...     x = gx.normal(0.0, 1.0) @ "x"
+    ...     _ = gx.normal(x, 1.0) @ "y"
+    >>> driver = SMCDriver(n_particles=256)
+    >>> coll = driver.init(jax.random.key(0), Target(model, (), gx.ChoiceMap.kw(y=1.0)))
+    >>> coll = driver.maybe_resample(jax.random.key(1), coll)
+    >>> coll = driver.rejuvenate(
+    ...     jax.random.key(2), coll, gx.Regenerate(gx.Selection.at["x"])
+    ... )
+    >>> bool(coll.get_ess() > 0)
+    True
     """
 
     n_particles: int = Pytree.static()

@@ -21,7 +21,23 @@ R = TypeVar("R")
 @Pytree.dataclass
 class Target(Generic[R], Pytree):
     """An unnormalized posterior: a generative function `p`, arguments,
-    and a constraint choice map fixing the observed addresses."""
+    and a constraint choice map fixing the observed addresses.
+
+    >>> import jax, jax.numpy as jnp
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu import Target
+    >>> @gx.gen
+    ... def model():
+    ...     x = gx.normal(0.0, 1.0) @ "x"
+    ...     _ = gx.normal(x, 1.0) @ "y"
+    >>> target = Target(model, (), gx.ChoiceMap.kw(y=1.0))
+    >>> tr, w = target.importance(jax.random.key(0), gx.ChoiceMap.empty())
+    >>> float(tr.get_choices()["y"])  # observation pinned
+    1.0
+    >>> latents = target.filter_to_unconstrained(tr.get_choices())
+    >>> "x" in latents, "y" in latents
+    (True, False)
+    """
 
     p: GenerativeFunction[R]
     args: tuple

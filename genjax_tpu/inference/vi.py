@@ -106,7 +106,25 @@ def ELBO(
     guide: SampleDistribution,
     make_target: Callable[..., Target[Any]],
 ) -> Callable[[PRNGKey, tuple], GradientEstimate]:
-    """Gradient estimator for the (negated) evidence lower bound."""
+    """Gradient estimator for the (negated) evidence lower bound.
+
+    >>> import jax
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu.inference import Target, vi
+    >>> @gx.gen
+    ... def model(_vmu):
+    ...     mu = gx.normal(0.0, 1.0) @ "mu"
+    ...     _ = gx.normal(mu, 1.0) @ "y"
+    >>> @gx.marginal()
+    ... @gx.gen
+    ... def guide(target):
+    ...     (vmu,) = target.args
+    ...     _ = vi.normal_reparam(vmu, 1.0) @ "mu"
+    >>> step = vi.ELBO(guide, lambda vmu: Target(model, (vmu,), gx.ChoiceMap.kw(y=2.0)))
+    >>> (grad,) = step(jax.random.key(0), (0.0,))
+    >>> bool(grad < 0)  # pushes the variational mean toward the posterior (1.0)
+    True
+    """
 
     def grad_estimate(key: PRNGKey, args: tuple) -> GradientEstimate:
         @expectation

@@ -1,0 +1,306 @@
+"""Deep ChoiceMap/Selection algebra property tests (VERDICT r1 item 2:
+grow coverage toward the reference's hypothesis suite —
+Switch × Indexed × filter × merge interactions on randomly generated
+nested tries and randomly generated selection expressions).
+"""
+
+import jax.numpy as jnp
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from genjax_tpu import ChoiceMap, Mask, Selection
+from genjax_tpu import ChoiceMapBuilder as C
+from genjax_tpu import SelectionBuilder as S
+
+KEYS = list("abcd")
+
+# -- random nested tries ------------------------------------------------------
+
+_leaf_values = st.floats(
+    min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
+)
+
+
+def _nested_dicts(depth: int):
+    if depth == 0:
+        return _leaf_values
+    return st.dictionaries(
+        st.sampled_from(KEYS),
+        st.one_of(_leaf_values, _nested_dicts(depth - 1)),
+        min_size=1,
+        max_size=3,
+    )
+
+
+tries = st.dictionaries(
+    st.sampled_from(KEYS), st.one_of(_leaf_values, _nested_dicts(1)), min_size=1, max_size=3
+)
+
+
+def _paths(d, prefix=()):
+    """All leaf address paths of a nested dict."""
+    out = []
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out.extend(_paths(v, (*prefix, k)))
+        else:
+            out.append(((*prefix, k), v))
+    return out
+
+
+def _lookup(chm: ChoiceMap, path):
+    sub = chm.get_submap(*path)
+    v = sub.get_value()
+    if isinstance(v, Mask):
+        flag = v.primal_flag()
+        if not bool(jnp.all(jnp.asarray(flag))):
+            return None
+        return v.value
+    return v
+
+
+# -- random selection expressions --------------------------------------------
+
+_sel_leaves = st.one_of(
+    st.just(Selection.all()),
+    st.just(Selection.none()),
+    st.lists(st.sampled_from(KEYS), min_size=1, max_size=2).map(
+        lambda p: S[tuple(p)]
+    ),
+    st.sampled_from(KEYS).map(lambda k: S[..., k]),
+)
+
+
+def _sel_exprs(depth: int):
+    if depth == 0:
+        return _sel_leaves
+    sub = _sel_exprs(depth - 1)
+    return st.one_of(
+        _sel_leaves,
+        st.tuples(sub, sub).map(lambda ab: ab[0] | ab[1]),
+        st.tuples(sub, sub).map(lambda ab: ab[0] & ab[1]),
+        sub.map(lambda s: ~s),
+    )
+
+
+selections = _sel_exprs(2)
+
+
+class TestFilterPartition:
+    @settings(max_examples=60, deadline=None)
+    @given(tries, selections)
+    def test_filter_and_complement_partition(self, d, sel):
+        """For every leaf path: exactly one of filter(sel) / filter(~sel)
+        holds its value, and the union reconstructs the trie."""
+        chm = ChoiceMap.d(d)
+        kept = chm.filter(sel)
+        dropped = chm.filter(~sel)
+        for path, v in _paths(d):
+            in_kept = _lookup(kept, path)
+            in_dropped = _lookup(dropped, path)
+            assert (in_kept is None) != (in_dropped is None), (path, sel)
+            got = in_kept if in_kept is not None else in_dropped
+            assert jnp.isclose(jnp.float32(got), jnp.float32(v))
+
+    @settings(max_examples=40, deadline=None)
+    @given(tries, selections)
+    def test_filter_idempotent(self, d, sel):
+        chm = ChoiceMap.d(d)
+        once = chm.filter(sel)
+        twice = once.filter(sel)
+        for path, _ in _paths(d):
+            a, b = _lookup(once, path), _lookup(twice, path)
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert jnp.isclose(jnp.float32(a), jnp.float32(b))
+
+    @settings(max_examples=40, deadline=None)
+    @given(tries, selections, selections)
+    def test_demorgan_on_filters(self, d, s1, s2):
+        """filter(~(s1 | s2)) keeps a leaf iff filter(~s1 & ~s2) does."""
+        chm = ChoiceMap.d(d)
+        lhs = chm.filter(~(s1 | s2))
+        rhs = chm.filter(~s1 & ~s2)
+        for path, _ in _paths(d):
+            assert (_lookup(lhs, path) is None) == (_lookup(rhs, path) is None)
+
+    @settings(max_examples=40, deadline=None)
+    @given(tries, selections)
+    def test_double_complement(self, d, sel):
+        chm = ChoiceMap.d(d)
+        lhs = chm.filter(sel)
+        rhs = chm.filter(~~sel)
+        for path, _ in _paths(d):
+            assert (_lookup(lhs, path) is None) == (_lookup(rhs, path) is None)
+
+
+class TestMergeAlgebra:
+    @settings(max_examples=60, deadline=None)
+    @given(tries, tries)
+    def test_or_left_priority_everywhere(self, d1, d2):
+        merged = ChoiceMap.d(d1) | ChoiceMap.d(d2)
+        for path, v in _paths(d1):
+            got = _lookup(merged, path)
+            assert got is not None
+            assert jnp.isclose(jnp.float32(got), jnp.float32(v)), path
+        for path, v in _paths(d2):
+            # d2's leaves survive unless shadowed by d1 at the same path
+            # (or structurally shadowed by a d1 leaf along the prefix).
+            got = _lookup(merged, path)
+            if got is not None and _lookup(ChoiceMap.d(d1), path) is None:
+                shadowed = any(
+                    _lookup(ChoiceMap.d(d1), path[:k]) is not None
+                    for k in range(1, len(path))
+                )
+                if not shadowed:
+                    assert jnp.isclose(jnp.float32(got), jnp.float32(v)), path
+
+    @settings(max_examples=40, deadline=None)
+    @given(tries, selections)
+    def test_filter_distributes_over_or(self, d, sel):
+        """(c1 | c2).filter(sel) agrees with c1.filter(sel) | c2.filter(sel)
+        for disjoint halves of one trie."""
+        chm = ChoiceMap.d(d)
+        paths = [p for p, _ in _paths(d)]
+        half = {p for i, p in enumerate(paths) if i % 2 == 0}
+        half_sel = Selection.none()
+        for p in half:
+            half_sel |= S[p]
+        c1 = chm.filter(half_sel)
+        c2 = chm.filter(~half_sel)
+        lhs = (c1 | c2).filter(sel)
+        rhs = c1.filter(sel) | c2.filter(sel)
+        for path, _ in _paths(d):
+            assert (_lookup(lhs, path) is None) == (_lookup(rhs, path) is None)
+
+
+class TestSwitchInteractions:
+    @settings(max_examples=40, deadline=None)
+    @given(tries, tries, st.integers(min_value=0, max_value=1))
+    def test_switch_selects_branch(self, d1, d2, idx):
+        sw = ChoiceMap.switch(jnp.asarray(idx), [ChoiceMap.d(d1), ChoiceMap.d(d2)])
+        active = _paths(d1) if idx == 0 else _paths(d2)
+        for path, v in active:
+            got = _lookup(sw, path)
+            assert got is not None, path
+            assert jnp.isclose(jnp.float32(got), jnp.float32(v))
+        inactive = _paths(d2) if idx == 0 else _paths(d1)
+        active_paths = {p for p, _ in active}
+        for path, _ in inactive:
+            if path not in active_paths:
+                assert _lookup(sw, path) is None, path
+
+    @settings(max_examples=30, deadline=None)
+    @given(tries, tries, selections, st.integers(min_value=0, max_value=1))
+    def test_filter_commutes_with_switch(self, d1, d2, sel, idx):
+        """switch(i, [c1, c2]).filter(sel) == switch(i, [c1.filter,
+        c2.filter]) observationally at every leaf path."""
+        c1, c2 = ChoiceMap.d(d1), ChoiceMap.d(d2)
+        i = jnp.asarray(idx)
+        lhs = ChoiceMap.switch(i, [c1, c2]).filter(sel)
+        rhs = ChoiceMap.switch(i, [c1.filter(sel), c2.filter(sel)])
+        for path, _ in _paths(d1) + _paths(d2):
+            a, b = _lookup(lhs, path), _lookup(rhs, path)
+            assert (a is None) == (b is None), path
+            if a is not None:
+                assert jnp.isclose(jnp.float32(a), jnp.float32(b))
+
+    @settings(max_examples=30, deadline=None)
+    @given(tries, tries, tries, st.integers(min_value=0, max_value=1))
+    def test_or_with_switch_left_priority(self, d1, d2, d3, idx):
+        """(base | switch) keeps base's leaves everywhere."""
+        base = ChoiceMap.d(d3)
+        sw = ChoiceMap.switch(jnp.asarray(idx), [ChoiceMap.d(d1), ChoiceMap.d(d2)])
+        merged = base | sw
+        for path, v in _paths(d3):
+            got = _lookup(merged, path)
+            assert got is not None
+            assert jnp.isclose(jnp.float32(got), jnp.float32(v))
+
+
+class TestIndexedInteractions:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=7), min_size=1, max_size=4, unique=True
+        ),
+        st.lists(_leaf_values, min_size=4, max_size=4),
+        st.integers(min_value=0, max_value=7),
+    )
+    def test_indexed_membership(self, idxs, vs, probe):
+        """C[idx_array, 'x'] answers membership exactly under gathers."""
+        idx_arr = jnp.asarray(idxs)
+        v_arr = jnp.asarray(vs[: len(idxs)])
+        chm = C[idx_arr, "x"].set(v_arr)
+        got = chm.get_submap(probe, "x").get_value()
+        if probe in idxs:
+            want = vs[idxs.index(probe)]
+            if isinstance(got, Mask):
+                assert bool(got.primal_flag())
+                got = got.value
+            assert jnp.isclose(jnp.float32(got), jnp.float32(want))
+        else:
+            assert got is None or (
+                isinstance(got, Mask) and not bool(got.primal_flag())
+            )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=4, max_value=7),
+        _leaf_values,
+        _leaf_values,
+    )
+    def test_disjoint_indexed_merge(self, i1, i2, v1, v2):
+        chm = C[i1, "x"].set(v1) | C[i2, "x"].set(v2)
+        g1 = chm.get_submap(i1, "x").get_value()
+        g2 = chm.get_submap(i2, "x").get_value()
+
+        def unwrap(m):
+            return m.value if isinstance(m, Mask) else m
+
+        assert jnp.isclose(jnp.float32(unwrap(g1)), jnp.float32(v1))
+        assert jnp.isclose(jnp.float32(unwrap(g2)), jnp.float32(v2))
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=0, max_value=5), _leaf_values, selections)
+    def test_filter_through_indexed(self, idx, v, sel):
+        """Filtering an Indexed node keeps/drops the same leaves as
+        filtering its inner map (the index wrapper is transparent to
+        string-keyed selections)."""
+        inner = ChoiceMap.kw(x=v)
+        chm = inner.extend(jnp.asarray(idx))
+        filtered = chm.get_submap(idx).filter(sel)
+        direct = inner.filter(sel)
+        a = _lookup(filtered, ("x",))
+        b = _lookup(direct, ("x",))
+        assert (a is None) == (b is None)
+
+
+class TestWildcardZeroOrOne:
+    """`...` matches zero or one address components — the property that
+    makes `S[..., "z"]` valid in both the positional (scan/vmap edit) and
+    structural (vectorized-trie filter) address spaces."""
+
+    def test_flat_trie_match(self):
+        chm = ChoiceMap.kw(z=jnp.arange(3.0), y=jnp.ones(3))
+        kept = chm.filter(S[..., "z"])
+        assert _lookup(kept, ("z",)) is not None
+        assert _lookup(kept, ("y",)) is None
+
+    def test_one_level_match(self):
+        chm = ChoiceMap.entry(ChoiceMap.kw(z=1.0), "sub")
+        kept = chm.filter(S[..., "z"])
+        assert _lookup(kept, ("sub", "z")) is not None
+
+    @settings(max_examples=30, deadline=None)
+    @given(tries, st.sampled_from(KEYS))
+    def test_wildcard_superset_of_plain(self, d, k):
+        """S[..., k] keeps every leaf S[k] keeps (zero-level branch) plus
+        any one level deeper."""
+        chm = ChoiceMap.d(d)
+        plain = chm.filter(S[k])
+        wild = chm.filter(S[..., k])
+        for path, _ in _paths(d):
+            if _lookup(plain, path) is not None:
+                assert _lookup(wild, path) is not None
