@@ -164,20 +164,46 @@ def main():
             return jax.lax.scan(body, jnp.float32(0), scales)[0]
 
         @jax.jit
-        def copy_chain(x):
-            y = jax.lax.scan(lambda y, _: (y + 1.0, None), x, None, length=NN)[0]
-            return jnp.sum(y)  # scalar output; forces the whole chain
+        def read_chain(x):
+            # Read-only streaming roof: each iteration re-reads the full
+            # array (the carry-dependent shift defeats CSE) and reduces to
+            # a scalar — no large writes. A read-only roof upper-bounds
+            # any pass that also writes, so the fraction below is <= 1 by
+            # construction.
+            def body(c, _):
+                return c + jnp.sum(jnp.abs(x - c)), None
+
+            return jax.lax.scan(body, jnp.float32(0), None, length=NN)[0]
 
         # iters=3: a one-shot timing occasionally eats an extra tunnel
         # stall and under-reports by ~1.5x; three iterations average it out.
-        t_den = max(timeit(density_chain, ws, scales, iters=3) - t_floor, 1e-9) / NN
         flat = ws.reshape(-1)
-        t_cpy = max(timeit(copy_chain, flat, iters=3) - t_floor, 1e-9) / NN
+        # 3 paired trials; the roof takes the FASTEST trial (a conservative
+        # denominator — the bandwidth the device demonstrably reaches) and
+        # the density pass the mean, so the fraction cannot exceed 1 from
+        # a slow roof sample.
+        den_ts, roof_ts = [], []
+        for _ in range(3):
+            den_ts.append(
+                max(timeit(density_chain, ws, scales, iters=3) - t_floor, 1e-9) / NN
+            )
+            roof_ts.append(
+                max(timeit(read_chain, flat, iters=3) - t_floor, 1e-9) / NN
+            )
+        t_den = sum(den_ts) / len(den_ts)
+        t_cpy = min(roof_ts)
+        # Bytes actually moved, counted the same way on both sides: the
+        # density pass reads the K x D weights and fuses the per-particle
+        # scores straight into the scalar reduction (no K-length write —
+        # verified: the scan body's only carry is one f32), so its traffic
+        # is the reads; the roof probe likewise only reads. A read-only
+        # roof upper-bounds a read-only pass, so the fraction is <= 1 up
+        # to timing noise.
         den_gbs = KD * D * 4 / t_den / 1e9
-        roof_gbs = 2 * flat.size * 4 / t_cpy / 1e9
+        roof_gbs = flat.size * 4 / t_cpy / 1e9
         log(
             f"log-density throughput: {den_gbs:.0f} GB/s; device achievable "
-            f"(read+write chain): {roof_gbs:.0f} GB/s; roofline fraction "
+            f"(read-only stream): {roof_gbs:.0f} GB/s; roofline fraction "
             f"{den_gbs / roof_gbs:.2f}"
         )
     except Exception as e:  # pragma: no cover
@@ -187,13 +213,34 @@ def main():
     try:
         from genjax_tpu.models.ssm import run_bootstrap_filter, simulate_ssm_data
 
+        @jax.jit
+        def _tiny2(x):
+            return jnp.sum(x)
+
+        t_floor = timeit(_tiny2, jnp.arange(8.0), iters=5)
         _, ys = simulate_ssm_data(jax.random.key(1), 50)
-        pf = jax.jit(lambda k: run_bootstrap_filter(k, ys, n_particles=10_000)[0])
-        t_pf = timeit(pf, jax.random.key(2), iters=5)
-        log(
-            f"SSM bootstrap PF (T=50, 10k particles, systematic): "
-            f"{t_pf*1e3:.2f} ms = {50*10_000/t_pf/1e6:.1f}M particle-steps/s"
-        )
+        # BASELINE config #3 at both 10k and 1M particles. Runs batch
+        # inside one jit (scan over keys) with the tunnel round-trip floor
+        # subtracted — a per-call timing at 10k particles measures the
+        # ~25 ms tunnel, not the ~8 ms filter.
+        for K_pf, reps in ((10_000, 10), (1_000_000, 3)):
+            @jax.jit
+            def pf_batch(keys, K_pf=K_pf):
+                return jax.lax.scan(
+                    lambda c, k: (
+                        c,
+                        run_bootstrap_filter(k, ys, n_particles=K_pf)[0],
+                    ),
+                    None,
+                    keys,
+                )[1]
+
+            pf_keys = jax.random.split(jax.random.key(2), reps)
+            t_pf = max(timeit(pf_batch, pf_keys, iters=3) - t_floor, 1e-9) / reps
+            log(
+                f"SSM bootstrap PF (T=50, K={K_pf}, systematic): "
+                f"{t_pf*1e3:.2f} ms = {50*K_pf/t_pf/1e6:.1f}M particle-steps/s"
+            )
     except Exception as e:  # pragma: no cover
         log("PF diagnostic failed:", e)
 

@@ -7,8 +7,8 @@ signature `(z_prev, t) -> step trace` with an observation address.
 
 TPU design: particles are a dense `(K, ...)` state pytree; each step is
 `vmap(step_model.importance)` (one fused density evaluation per particle)
-followed by systematic resampling (cumsum + searchsorted, or the Pallas
-kernel `genjax_tpu.ops.systematic_ancestors_kernel` on TPU).
+followed by search-free systematic resampling (cumsum + scatter +
+`lax.cummax`, see `inference/smc.py`).
 """
 
 from typing import Any, TypeVar

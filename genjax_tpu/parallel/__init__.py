@@ -6,6 +6,8 @@ particle collections with `psum`-based weight reductions, distributed
 systematic resampling over ICI, and sharded MCMC chain execution.
 """
 
+from genjax_tpu.parallel.chains import sharded_mh_chains
+from genjax_tpu.parallel.grid import GridSMC, grid_mesh
 from genjax_tpu.parallel.mesh import particle_mesh, shard_leading_axis
 from genjax_tpu.parallel.smc import (
     ShardedSMC,
@@ -13,10 +15,11 @@ from genjax_tpu.parallel.smc import (
     sharded_lml,
     sharded_systematic_ancestors,
 )
-from genjax_tpu.parallel.chains import sharded_mh_chains
 
 __all__ = [
+    "GridSMC",
     "ShardedSMC",
+    "grid_mesh",
     "particle_mesh",
     "shard_leading_axis",
     "sharded_ess",

@@ -106,7 +106,9 @@ def sharded_systematic_ancestors(
             .at[scatter_idx]
             .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
         )
-        return jax.lax.associative_scan(jnp.maximum, anc0)
+        # `lax.cummax`, not `associative_scan` (which unrolls into
+        # ~log2(n) slice/concat kernels — see inference/smc.py).
+        return jax.lax.cummax(anc0)
 
     return _anc(key, log_weights)
 

@@ -7,7 +7,7 @@ import pytest
 import genjax_tpu as g
 from genjax_tpu import ChoiceMap, Regenerate, Selection, Target
 from genjax_tpu.inference.smc import systematic_resample
-from genjax_tpu.ops import fused_logsumexp, systematic_ancestors_kernel
+from genjax_tpu.ops import fused_logsumexp, maybe_fused_logsumexp
 from genjax_tpu.parallel import (
     ShardedSMC,
     particle_mesh,
@@ -121,10 +121,10 @@ class TestPallasKernels:
                 fused_logsumexp(x, interpret=True), logsumexp(x), atol=1e-4
             )
 
-    def test_systematic_kernel_interpret(self):
-        lw = jax.random.normal(jax.random.key(1), (5000,))
-        key = jax.random.key(2)
-        anc_k = systematic_ancestors_kernel(key, lw, interpret=True)
-        anc_r = systematic_resample(key, lw, 5000)
-        mismatch = jnp.mean((anc_k != anc_r).astype(jnp.float32))
-        assert mismatch < 1e-3  # exact CDF ties may differ by one slot
+    def test_maybe_fused_dispatch_is_exact_fallback(self):
+        # Off-TPU (and when not opted in) the dispatcher is XLA logsumexp
+        # exactly, so the flag cannot change results silently.
+        from jax.scipy.special import logsumexp
+
+        x = jax.random.normal(jax.random.key(1), (400_000,))
+        assert jnp.allclose(maybe_fused_logsumexp(x), logsumexp(x), atol=0.0)

@@ -16,9 +16,7 @@ import pytest
 import genjax_tpu
 
 # Modules whose import has side effects unsuitable for the doctest pass.
-_SKIP = {
-    "genjax_tpu.ops.resampling",  # Pallas kernel (TPU-lowering docs only)
-}
+_SKIP: set[str] = set()
 
 
 def _module_names():
