@@ -280,6 +280,72 @@ def main():
         log("SMC@1M diagnostic failed:", e)
 
     try:
+        # BASELINE config #2: Bayesian polynomial regression — importance
+        # sampling + MALA rejuvenation.
+        from genjax_tpu.models.polyreg import run_is_mh
+
+        true_coeffs = jnp.array([0.5, -1.0, 0.3])
+        xs = jnp.linspace(-2.0, 2.0, 64)
+        design = jnp.stack([jnp.ones_like(xs), xs, xs**2], axis=-1)
+        ys = design @ true_coeffs + 0.3 * jax.random.normal(
+            jax.random.key(11), xs.shape
+        )
+        reps2 = 50
+
+        @jax.jit
+        def polyreg_batch(keys):
+            def one(c, k):
+                lml, coeffs = run_is_mh(
+                    k, xs, ys, n_particles=8192, n_rejuvenation=20
+                )
+                # Consume the rejuvenated coefficients too — otherwise XLA
+                # dead-code-eliminates the entire MALA phase.
+                return c, (lml, jnp.mean(coeffs, axis=0))
+
+            return jax.lax.scan(one, None, keys)[1]
+
+        pk = jax.random.split(jax.random.key(12), reps2)
+        t_pr = max(timeit(polyreg_batch, pk, iters=3) - t_floor, 1e-9) / reps2
+        sweeps = 8192 * 20
+        log(
+            f"polyreg IS(8192)+MALA x20 rejuvenation: {t_pr*1e3:.1f} ms = "
+            f"{sweeps/t_pr/1e6:.2f}M rejuvenation-moves/s"
+        )
+    except Exception as e:  # pragma: no cover
+        log("polyreg diagnostic failed:", e)
+
+    try:
+        # BASELINE config #5 (stretch): ADEV-trained guide + nested SMC at
+        # 1M particles (RAVI). Training runs once (host loop); the timed
+        # part is the guided 1M-particle LML estimate.
+        from genjax_tpu.models.ravi import nested_smc_lml, train_guide
+
+        params = train_guide(jax.random.key(13), n_steps=150)
+        reps5 = 20
+
+        @jax.jit
+        def ravi_batch(keys):
+            return jax.lax.scan(
+                lambda c, k: (c, nested_smc_lml(k, params, 1_000_000)),
+                None,
+                keys,
+            )[1]
+
+        rk = jax.random.split(jax.random.key(14), reps5)
+        lmls = ravi_batch(rk)
+        t_rv = max(timeit(ravi_batch, rk, iters=3) - t_floor, 1e-9) / reps5
+        exact = -0.5 * 4.0 / 1.25 - 0.5 * jnp.log(2 * jnp.pi * 1.25)
+        import numpy as _np
+
+        err = float(jnp.max(jnp.abs(lmls - exact)))
+        log(
+            f"RAVI nested SMC @1M (ADEV-trained guide): {t_rv*1e3:.1f} ms/estimate "
+            f"= {1_000_000/t_rv/1e6:.0f}M particles/s; |LML err| <= {err:.1e}"
+        )
+    except Exception as e:  # pragma: no cover
+        log("RAVI diagnostic failed:", e)
+
+    try:
         from genjax_tpu.models.logreg import run_hmc_chains, simulate_logreg_data
 
         X, yo, _ = simulate_logreg_data(jax.random.key(3), 256, 16)

@@ -1,5 +1,6 @@
 """Core layer: pytree base, staging utilities, generative data types, GFI."""
 
+from genjax_tpu.core.checked import checked_mode, do_checked
 from genjax_tpu.core.checkify import do_checkify, optional_check
 from genjax_tpu.core.choice_map import (
     Address,
@@ -80,6 +81,8 @@ __all__ = [
     "UnknownChange",
     "Update",
     "Weight",
+    "checked_mode",
+    "do_checked",
     "do_checkify",
     "empty_trace",
     "incremental",

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import checkify
 
+from genjax_tpu.core import checked
 from genjax_tpu.core.checkify import optional_check
 from genjax_tpu.core.choice_map import ChoiceMap, Selection
 from genjax_tpu.core.concepts import (
@@ -74,12 +75,19 @@ class Distribution(Generic[R], GenerativeFunction[R]):
     # -- GFI ----------------------------------------------------------------
 
     def simulate(self, key: PRNGKey, args: tuple) -> Trace[R]:
+        if checked.is_checked():
+            checked.check_key(key, f"{type(self).__name__}.simulate")
+            checked.check_args(args, f"{type(self).__name__}.simulate")
         (w, v) = self.random_weighted(key, *args)
         return DistributionTrace(self, args, v, w)
 
     def generate(
         self, key: PRNGKey, constraint: ChoiceMap, args: tuple
     ) -> tuple[Trace[R], Weight]:
+        if checked.is_checked():
+            checked.check_key(key, f"{type(self).__name__}.generate")
+            checked.check_choice_map(constraint, f"{type(self).__name__}.generate")
+            checked.check_args(args, f"{type(self).__name__}.generate")
         v = constraint.get_value()
         match v:
             case None:

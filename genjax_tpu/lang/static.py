@@ -37,6 +37,7 @@ from typing import Any, Generic, TypeVar
 import jax
 import jax.numpy as jnp
 
+from genjax_tpu.core import checked
 from genjax_tpu.core.choice_map import ChoiceMap, Selection
 from genjax_tpu.core.concepts import (
     Argdiffs,
@@ -383,12 +384,18 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
     # -- GFI -------------------------------------------------------------------
 
     def simulate(self, key: PRNGKey, args: tuple) -> StaticTrace[R]:
+        if checked.is_checked():
+            checked.check_key(key, "simulate")
+            checked.check_args(args, "simulate")
         handler = SimulateHandler(key)
         with handler_context(handler):
             retval = self.source(*args)
         return StaticTrace(self, args, retval, handler.subtraces)
 
     def assess(self, sample: ChoiceMap, args: tuple) -> tuple[Score, R]:
+        if checked.is_checked():
+            checked.check_choice_map(sample, "assess", "sample")
+            checked.check_args(args, "assess")
         handler = AssessHandler(sample)
         with handler_context(handler):
             retval = self.source(*args)
@@ -397,6 +404,10 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
     def generate(
         self, key: PRNGKey, constraint: ChoiceMap, args: tuple
     ) -> tuple[StaticTrace[R], Weight]:
+        if checked.is_checked():
+            checked.check_key(key, "generate")
+            checked.check_choice_map(constraint, "generate")
+            checked.check_args(args, "generate")
         handler = GenerateHandler(key, constraint)
         with handler_context(handler):
             retval = self.source(*args)
@@ -515,6 +526,10 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
         edit_request: EditRequest,
         argdiffs: Argdiffs,
     ) -> tuple[StaticTrace[R], Weight, Retdiff, EditRequest]:
+        if checked.is_checked():
+            checked.check_key(key, "edit")
+            checked.check_request(edit_request, "edit")
+            checked.check_args(argdiffs, "edit (argdiffs)")
         assert isinstance(trace, StaticTrace)
         match edit_request:
             case Update(constraint):
