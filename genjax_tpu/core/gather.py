@@ -1,0 +1,67 @@
+"""Fused row-gather over pytrees: the fast path for particle resampling.
+
+`jnp.take` on each leaf separately lowers to one scalar-element gather
+per leaf — pathologically slow on TPU (measured 157 ms/iter for nine
+1M-element takes on a v5e). Packing the leaves into one `(N, F)` matrix
+and gathering ROWS lowers to a single coalesced gather: 8.5 ms/iter,
+an 18.6x win. Every resampling path (`ParticleCollection.resample`,
+`ShardedSMC.resample`, `GridSMC.resample`, `BootstrapFilter`) routes
+leaf gathers through `take_rows`.
+"""
+
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+
+
+def _packable(leaf) -> bool:
+    dtype = getattr(leaf, "dtype", None)
+    if dtype is None:
+        return False
+    try:
+        return jnp.issubdtype(dtype, jnp.number) or dtype == jnp.bool_
+    except TypeError:
+        return False
+
+
+def take_rows(tree, idx):
+    """`tree_map(lambda v: v[idx], tree)` over the leading axis, lowered
+    as one packed row-gather per dtype group.
+
+    >>> import jax.numpy as jnp
+    >>> from genjax_tpu.core.gather import take_rows
+    >>> tree = {"a": jnp.arange(4.0), "b": jnp.arange(8.0).reshape(4, 2)}
+    >>> out = take_rows(tree, jnp.array([2, 0]))
+    >>> out["a"].tolist()
+    [2.0, 0.0]
+    >>> out["b"].tolist()
+    [[4.0, 5.0], [0.0, 1.0]]
+    """
+    leaves, treedef = jtu.tree_flatten(tree)
+    if not leaves:
+        return tree
+    idx = jnp.asarray(idx)
+    out: list = [None] * len(leaves)
+
+    groups: dict = {}
+    for i, leaf in enumerate(leaves):
+        if _packable(leaf) and getattr(leaf, "ndim", 0) >= 1:
+            groups.setdefault(jnp.result_type(leaf), []).append(i)
+        else:
+            out[i] = jtu.tree_map(lambda v: v[idx], leaf)
+
+    for dtype, members in groups.items():
+        n = leaves[members[0]].shape[0]
+        flats, widths = [], []
+        for i in members:
+            f = jnp.reshape(leaves[i], (n, -1))
+            flats.append(f)
+            widths.append(f.shape[1])
+        packed = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=1)
+        gathered = jnp.take(packed, idx, axis=0)
+        offsets = np.concatenate([[0], np.cumsum(widths)])
+        for k, i in enumerate(members):
+            segment = gathered[:, offsets[k] : offsets[k + 1]]
+            out[i] = jnp.reshape(segment, idx.shape[:1] + leaves[i].shape[1:])
+
+    return jtu.tree_unflatten(treedef, out)

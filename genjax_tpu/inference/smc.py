@@ -235,9 +235,13 @@ class ParticleCollection(Generic[R], Pytree):
     ) -> "ParticleCollection[R]":
         """Resample the collection to equal weights, preserving the mean
         weight (so LML accumulation telescopes correctly)."""
+        from genjax_tpu.core.gather import take_rows
+
         n = self.log_weights.shape[0]
         anc = RESAMPLERS[method](key, self.log_weights, n)
-        new_particles = jtu.tree_map(lambda v: v[anc], self.particles)
+        # One packed row-gather instead of a per-leaf scalar gather
+        # (18.6x at 1M particles; see core/gather.py).
+        new_particles = take_rows(self.particles, anc)
         # After resampling, each particle carries the average weight.
         avg_lw = logsumexp(self.log_weights) - jnp.log(n)
         return ParticleCollection(
@@ -553,12 +557,19 @@ class SMCDriver(Generic[R], Pytree):
     def maybe_resample(
         self, key: PRNGKey, collection: ParticleCollection[R]
     ) -> ParticleCollection[R]:
-        """Resample if ESS drops below `ess_threshold * n_particles`,
-        realized densely with `tree_choose`-style selects (no cond)."""
+        """Resample if ESS drops below `ess_threshold * n_particles`.
+
+        Realized with `lax.cond` (a real runtime branch, single-device):
+        the resampling scatter + gather pair dominates a large-K SMC step,
+        so skipping it when the ESS is healthy is the main adaptive win.
+        (The sharded drivers keep dense selects — collectives inside a
+        cond are fragile under SPMD partitioning.)"""
         do = collection.get_ess() < self.ess_threshold * self.n_particles
-        resampled = collection.resample(key, self.resampling)
-        return jtu.tree_map(
-            lambda a, b: jnp.where(do, a, b), resampled, collection
+        return jax.lax.cond(
+            do,
+            lambda c: c.resample(key, self.resampling),
+            lambda c: c,
+            collection,
         )
 
     def extend(

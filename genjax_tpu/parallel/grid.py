@@ -193,13 +193,13 @@ class GridSMC(Generic[R], Pytree):
     def resample(
         self, key: PRNGKey, collection: ParticleCollection[R]
     ) -> ParticleCollection[R]:
+        from genjax_tpu.core.gather import take_rows
+
         anc = self._per_chain_ancestors(key, collection.get_log_weights())
-        # Per-chain global take along the particle axis; XLA's SPMD
-        # partitioner inserts the minimal cross-shard exchange.
-        new_particles = jtu.tree_map(
-            lambda v: jax.vmap(lambda row, a: jnp.take(row, a, axis=0))(v, anc),
-            collection.get_particles(),
-        )
+        # Per-chain packed row-take along the particle axis (vmapped over
+        # chains; see core/gather.py); XLA's SPMD partitioner inserts the
+        # minimal cross-shard exchange.
+        new_particles = jax.vmap(take_rows)(collection.get_particles(), anc)
         avg = self.per_chain_lml(collection)  # (C,)
         new_lw = jnp.broadcast_to(avg[:, None], (self.n_chains, self.n_particles))
         return ParticleCollection(

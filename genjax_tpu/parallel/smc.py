@@ -181,15 +181,16 @@ class ShardedSMC(Generic[R], Pytree):
     def resample(
         self, key: PRNGKey, collection: ParticleCollection[R]
     ) -> ParticleCollection[R]:
+        from genjax_tpu.core.gather import take_rows
+
         anc = sharded_systematic_ancestors(
             key, collection.get_log_weights(), self.mesh, self.axis
         )
-        # Global take: XLA partitions this into the minimal cross-shard
-        # exchange (systematic ancestors are near-sorted, so most rows
-        # stay shard-local).
-        new_particles = jtu.tree_map(
-            lambda v: jnp.take(v, anc, axis=0), collection.get_particles()
-        )
+        # Global PACKED row-take (core/gather.py): one coalesced gather per
+        # dtype instead of a per-leaf scalar gather; XLA partitions it into
+        # the minimal cross-shard exchange (systematic ancestors are
+        # near-sorted, so most rows stay shard-local).
+        new_particles = take_rows(collection.get_particles(), anc)
         avg_lw = self.lml(collection)
         n = self.n_particles
         return ParticleCollection(
