@@ -277,6 +277,130 @@ class TestIndexedInteractions:
         assert (a is None) == (b is None)
 
 
+class TestFlagMaskAlgebra:
+    @settings(max_examples=40, deadline=None)
+    @given(tries, st.booleans(), st.booleans())
+    def test_mask_composition_is_conjunction(self, d, f1, f2):
+        """chm.mask(f1).mask(f2) holds a value iff f1 & f2 (flags compose
+        conjunctively through nested Masks)."""
+        import jax.numpy as jnp
+
+        chm = ChoiceMap.d(d)
+        composed = chm.mask(jnp.asarray(f1)).mask(jnp.asarray(f2))
+        direct = chm.mask(jnp.asarray(f1 and f2))
+        for path, v in _paths(d):
+            a, b = _lookup(composed, path), _lookup(direct, path)
+            assert (a is None) == (b is None), (path, f1, f2)
+            if a is not None:
+                assert jnp.isclose(jnp.float32(a), jnp.float32(v))
+
+    @settings(max_examples=30, deadline=None)
+    @given(tries, st.booleans())
+    def test_masked_or_left_priority_respects_flags(self, d, flag):
+        """An invalidly-masked left operand yields to the right."""
+        import jax.numpy as jnp
+
+        chm = ChoiceMap.d(d)
+        shadow = ChoiceMap.d({k: -999.0 for k in d})
+        merged = shadow.mask(jnp.asarray(flag)) | chm
+        for k, v in d.items():
+            if isinstance(v, dict):
+                continue
+            got = _lookup(merged, (k,))
+            want = -999.0 if flag else v
+            assert got is not None
+            assert jnp.isclose(jnp.float32(got), jnp.float32(want)), (k, flag)
+
+
+class TestSelectionRoundTrips:
+    @settings(max_examples=40, deadline=None)
+    @given(tries)
+    def test_get_selection_selects_exactly_own_leaves(self, d):
+        chm = ChoiceMap.d(d)
+        sel = chm.get_selection()
+        for path, _ in _paths(d):
+            assert path in sel, path
+        # And filtering by it is the identity on values.
+        kept = chm.filter(sel)
+        for path, v in _paths(d):
+            got = _lookup(kept, path)
+            assert got is not None
+            import jax.numpy as jnp
+
+            assert jnp.isclose(jnp.float32(got), jnp.float32(v))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.sampled_from(KEYS), min_size=1, max_size=3))
+    def test_extend_then_query_round_trip(self, path):
+        sel = S[tuple(path)]
+        assert tuple(path) in sel
+        # Strict prefixes are on the way but not themselves selected, and
+        # one extra component falls off the leaf.
+        for cut in range(1, len(path)):
+            assert tuple(path[:cut]) not in sel
+        assert (*path, "zz") not in sel
+
+    @settings(max_examples=30, deadline=None)
+    @given(tries, selections, selections)
+    def test_and_is_intersection_on_filters(self, d, s1, s2):
+        chm = ChoiceMap.d(d)
+        lhs = chm.filter(s1 & s2)
+        via_both = chm.filter(s1).filter(s2)
+        for path, _ in _paths(d):
+            assert (_lookup(lhs, path) is None) == (
+                _lookup(via_both, path) is None
+            ), path
+
+
+class TestSwitchIndexedInteraction:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=1),
+        st.integers(min_value=0, max_value=3),
+        _leaf_values,
+        _leaf_values,
+    )
+    def test_switch_of_indexed_constraints(self, which, idx, v1, v2):
+        """A Switch whose branches hold Indexed nodes resolves membership
+        through both the branch mask and the index gather."""
+        import jax.numpy as jnp
+        from genjax_tpu import Mask
+
+        c1 = C[jnp.asarray(idx), "x"].set(jnp.asarray(v1))
+        c2 = C[jnp.asarray(idx), "x"].set(jnp.asarray(v2))
+        sw = ChoiceMap.switch(jnp.asarray(which), [c1, c2])
+        got = sw.get_submap(idx, "x").get_value()
+        want = v1 if which == 0 else v2
+        if isinstance(got, Mask):
+            assert bool(jnp.all(got.primal_flag()))
+            got = got.value
+        assert jnp.isclose(jnp.float32(got), jnp.float32(want))
+        # A different index is invalid through every branch.
+        miss = sw.get_submap(idx + 4, "x").get_value()
+        assert miss is None or (
+            isinstance(miss, Mask) and not bool(jnp.any(miss.primal_flag()))
+        )
+
+
+class TestInvalidSubset:
+    def test_detects_unsupported_address(self):
+        import jax
+
+        import genjax_tpu as gx
+
+        @gx.gen
+        def m():
+            x = gx.normal(0.0, 1.0) @ "x"
+            return x
+
+        good = ChoiceMap.kw(x=1.0)
+        assert good.invalid_subset(m, ()) is None
+        bad = ChoiceMap.kw(x=1.0, typo=2.0)
+        extras = bad.invalid_subset(m, ())
+        assert extras is not None
+        assert "typo" in extras and "x" not in extras
+
+
 class TestWildcardZeroOrOne:
     """`...` matches zero or one address components — the property that
     makes `S[..., "z"]` valid in both the positional (scan/vmap edit) and

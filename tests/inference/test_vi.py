@@ -193,6 +193,44 @@ class TestIWELBO:
         assert jnp.abs(jnp.mean(grads) - exact_grad) < 6 * se + 1e-4
 
 
+class TestAmortizedVmap:
+    def test_vmapped_grad_estimates_all_guides(self):
+        """The amortized-training shape: `jax.vmap(grad_estimate)` over a
+        batch of keys, for reparam AND reinforce guides, ELBO and IWELBO
+        (the IWELBO+reinforce case stacks the particle vmap inside the
+        outer batch vmap)."""
+
+        @g.gen
+        def model(_vmu):
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 1.0) @ "y"
+
+        @g.marginal()
+        @g.gen
+        def guide_reparam(target):
+            (vmu,) = target.args
+            _ = vi.normal_reparam(vmu, 1.0) @ "mu"
+
+        @g.marginal()
+        @g.gen
+        def guide_reinforce(target):
+            (vmu,) = target.args
+            _ = vi.normal_reinforce(vmu, 1.0) @ "mu"
+
+        make_target = lambda vmu: Target(model, (vmu,), C.kw(y=2.0))
+        keys = jax.random.split(jax.random.key(0), 16)
+        for guide in (guide_reparam, guide_reinforce):
+            for objective in (
+                vi.ELBO(guide, make_target),
+                vi.IWELBO(guide, make_target, N=4),
+            ):
+                grads = jax.vmap(lambda k: objective(k, (0.0,))[0])(keys)
+                assert grads.shape == (16,)
+                assert jnp.all(jnp.isfinite(grads))
+                # Gradient points toward the posterior mean (1.0) from 0.
+                assert jnp.mean(grads) < 0.0
+
+
 class TestWakeSleep:
     def test_pwake_qwake_finite(self):
         @g.gen
