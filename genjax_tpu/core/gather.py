@@ -1,5 +1,10 @@
 """Fused row-gather over pytrees: the fast path for particle resampling.
 
+New TPU-native capability with no reference counterpart (the reference
+ships no resampling at all — SURVEY.md §2 C26 note; its only particle
+indexing is the per-leaf `jnp.take` idiom of `combinators/vmap.py:277-332`,
+which this module replaces on the hot path).
+
 `jnp.take` on each leaf separately lowers to one scalar-element gather
 per leaf — pathologically slow on TPU (measured 157 ms/iter for nine
 1M-element takes on a v5e). Packing the leaves into one `(N, F)` matrix

@@ -169,8 +169,11 @@ def PWake(
     """Wake-phase model-parameter (θ) gradient of reweighted wake-sleep."""
 
     def grad_estimate(key: PRNGKey, args: tuple) -> GradientEstimate:
-        k_draw = jax.random.fold_in(key, 1)
-        k_score = jax.random.fold_in(key, 2)
+        # Three DISJOINT streams: the ADEV walk derives strategy subkeys
+        # from its key by splitting, and `split(k)[i] == fold_in(k, i)`,
+        # so handing the walk the raw parent while the closure holds
+        # fold_in(key, i) keys would re-couple them.
+        k_walk, k_draw, k_score = jax.random.split(key, 3)
 
         @expectation
         def wake_theta_loss(*target_args):
@@ -179,7 +182,7 @@ def PWake(
             model_trace, _ = target.importance(k_score, latents)
             return -model_trace.get_score()
 
-        return wake_theta_loss.grad_estimate(key, args)
+        return wake_theta_loss.grad_estimate(k_walk, args)
 
     return grad_estimate
 
@@ -194,8 +197,8 @@ def QWake(
     samples."""
 
     def grad_estimate(key: PRNGKey, args: tuple) -> GradientEstimate:
-        k_draw = jax.random.fold_in(key, 1)
-        k_density = jax.random.fold_in(key, 2)
+        # Disjoint streams — see PWake for the split-vs-fold_in aliasing.
+        k_walk, k_draw, k_density = jax.random.split(key, 3)
 
         @expectation
         def wake_phi_loss(*target_args):
@@ -203,6 +206,6 @@ def QWake(
             _, latents = posterior_approx.random_weighted(k_draw, target)
             return -proposal.estimate_logpdf(k_density, latents, target)
 
-        return wake_phi_loss.grad_estimate(key, args)
+        return wake_phi_loss.grad_estimate(k_walk, args)
 
     return grad_estimate

@@ -167,12 +167,14 @@ _CACHE: dict = {}
 
 # A concrete closure argument can steer Python control flow during staging
 # (e.g. `if bool(flag): x @ "a" else: y @ "b"`), so its VALUE is part of the
-# specialization identity, not just its aval. Values are fingerprinted up to
-# this many elements; a larger concrete leaf disables caching for safety
-# (branching on a huge concrete array is pathological but not impossible).
-_VALUE_FINGERPRINT_MAX_ELEMS = 128
+# specialization identity, not just its aval. Small concrete leaves keep
+# their raw bytes in the key; larger ones are digested (sha1) so data
+# arrays closed over by `partial_apply` stay cacheable.
+_VALUE_INLINE_MAX_ELEMS = 128
 
-_UNCACHEABLE = object()
+# Eager loops over distinct concrete dyn_args would otherwise grow the
+# cache (and pin fn objects) without bound; evict oldest-first past this.
+_CACHE_MAX_ENTRIES = 512
 
 
 def _aval_key(tree):
@@ -181,10 +183,11 @@ def _aval_key(tree):
 
 
 def _value_fingerprint(tree):
-    """Hashable fingerprint of the concrete leaf values in `tree`, or
-    `_UNCACHEABLE` when a concrete leaf is too large to fingerprint.
-    Traced leaves contribute no value (they cannot steer Python control
-    flow), only their avals — which `_aval_key` already covers."""
+    """Hashable fingerprint of the concrete leaf values in `tree`. Traced
+    leaves contribute no value (they cannot steer Python control flow),
+    only their avals — which `_aval_key` already covers."""
+    import hashlib
+
     import numpy as np
 
     parts = []
@@ -193,9 +196,11 @@ def _value_fingerprint(tree):
             parts.append(None)
             continue
         arr = np.asarray(leaf)
-        if arr.size > _VALUE_FINGERPRINT_MAX_ELEMS:
-            return _UNCACHEABLE
-        parts.append((arr.shape, str(arr.dtype), arr.tobytes()))
+        if arr.size > _VALUE_INLINE_MAX_ELEMS:
+            digest = hashlib.sha1(arr.tobytes()).hexdigest()
+            parts.append((arr.shape, str(arr.dtype), digest))
+        else:
+            parts.append((arr.shape, str(arr.dtype), arr.tobytes()))
     return tuple(parts)
 
 
@@ -206,20 +211,19 @@ def site_graph(source, args) -> SiteGraph:
     arguments (structure, avals, and concrete values — bound `self`s,
     `partial_apply`ed arguments, or nested closures change the site graph),
     and the call arguments' structure and avals."""
-    dyn_fingerprint = _value_fingerprint(source.dyn_args)
-    if dyn_fingerprint is _UNCACHEABLE:
-        return _analyze(source, args)
     key = (
         source.fn,
         jtu.tree_structure(source.dyn_args),
         _aval_key(source.dyn_args),
-        dyn_fingerprint,
+        _value_fingerprint(source.dyn_args),
         jtu.tree_structure(args),
         _aval_key(args),
     )
     hit = _CACHE.get(key)
     if hit is None:
         hit = _analyze(source, args)
+        while len(_CACHE) >= _CACHE_MAX_ENTRIES:
+            _CACHE.pop(next(iter(_CACHE)))
         _CACHE[key] = hit
     return hit
 

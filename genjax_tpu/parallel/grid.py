@@ -217,6 +217,12 @@ class GridSMC(Generic[R], Pytree):
         resampled = self.resample(key, collection)
 
         def _select(a, b):
+            # Only leaves carrying the chain axis participate in the
+            # per-chain select; scalar leaves (e.g. `is_valid`) must keep
+            # their avals (a 0-d leaf reshaped against `do` would silently
+            # become (C,) and break scan/cond carries).
+            if a.ndim == 0 or a.shape[0] != self.n_chains:
+                return b
             flags = do.reshape((self.n_chains,) + (1,) * (a.ndim - 1))
             return jnp.where(flags, a, b)
 

@@ -87,6 +87,31 @@ class TestGridResampling:
         assert jnp.allclose(x1, x1[0])
 
 
+class TestGridCarryStability:
+    def test_maybe_resample_preserves_avals_in_scan(self, smc):
+        """maybe_resample must not change any leaf's aval (a reshaped 0-d
+        `is_valid` breaks scan/cond carries — code-review r2 finding)."""
+        coll = jax.jit(smc.init)(jax.random.key(10), TARGET)
+        out = jax.jit(smc.maybe_resample)(jax.random.key(11), coll)
+        for a, b in zip(jtu.tree_leaves(coll), jtu.tree_leaves(out)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+
+        # And the real usage: carry the collection through a lax.scan.
+        @jax.jit
+        def loop(key, coll):
+            def body(c, k):
+                c = smc.maybe_resample(k, c)
+                c = smc.rejuvenate(
+                    jax.random.fold_in(k, 1), c, Regenerate(Selection.at["x"])
+                )
+                return c, smc.per_chain_ess(c)
+            return jax.lax.scan(body, coll, jax.random.split(key, 3))
+
+        coll2, esses = loop(jax.random.key(12), coll)
+        assert esses.shape == (3, 4)
+        assert bool(jnp.all(jnp.isfinite(smc.per_chain_lml(coll2))))
+
+
 class TestGridMoves:
     def test_full_round_runs_and_estimates(self, smc):
         @jax.jit
