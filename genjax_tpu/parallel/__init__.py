@@ -9,6 +9,14 @@ systematic resampling over ICI, and sharded MCMC chain execution.
 from genjax_tpu.parallel.chains import sharded_mh_chains
 from genjax_tpu.parallel.grid import GridSMC, grid_mesh
 from genjax_tpu.parallel.mesh import particle_mesh, shard_leading_axis
+from genjax_tpu.parallel.multihost import (
+    global_from_process_local,
+    hybrid_mesh,
+    initialize_multihost,
+    island_smc,
+    pooled_lml,
+    process_local_rows,
+)
 from genjax_tpu.parallel.smc import (
     ShardedSMC,
     sharded_ess,
@@ -19,8 +27,14 @@ from genjax_tpu.parallel.smc import (
 __all__ = [
     "GridSMC",
     "ShardedSMC",
+    "global_from_process_local",
     "grid_mesh",
+    "hybrid_mesh",
+    "initialize_multihost",
+    "island_smc",
     "particle_mesh",
+    "pooled_lml",
+    "process_local_rows",
     "shard_leading_axis",
     "sharded_ess",
     "sharded_lml",
