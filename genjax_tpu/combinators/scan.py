@@ -102,7 +102,9 @@ class Scan(Generic[Carry, Y], GenerativeFunction[tuple[Carry, Y]]):
     @staticmethod
     def _static_scan_length(xs: Any, length: int | None) -> int:
         jax.lax.scan(lambda c, x: (c, None), None, xs, length=length)
-        return length or jtu.tree_leaves(xs)[0].shape[0]
+        if length is not None:  # `n=0` is a valid explicit length
+            return length
+        return jtu.tree_leaves(xs)[0].shape[0]
 
     # -- GFI -------------------------------------------------------------------
 
