@@ -610,6 +610,59 @@ beta_implicit = BetaIMPLICIT()
 
 
 @Pytree.dataclass
+class GammaIMPLICIT(TailCallADEVPrimitive):
+    """Implicit reparameterization for Gamma(concentration, rate) draws.
+
+    JAX's `jax.random.gamma` carries the Figurnov et al. (2018) implicit
+    pathwise derivative w.r.t. the concentration as a built-in custom
+    JVP, so the dual propagates through it directly; the rate enters as
+    an explicit 1/rate scaling. New relative to the reference (which
+    ships only BetaIMPLICIT)."""
+
+    def sample(self, key, *args):
+        concentration, rate = args
+        return jax.random.gamma(key, concentration) / rate
+
+    def before_tail_call(self, key: PRNGKey, dual_tree) -> Dual:
+        (c_primal, r_primal) = Dual.tree_primal(dual_tree)
+        (c_tangent, r_tangent) = Dual.tree_tangent(dual_tree)
+        key, sub_key = jax.random.split(key)
+        g, dg = jax.jvp(
+            lambda a: jax.random.gamma(sub_key, a), (c_primal,), (c_tangent,)
+        )
+        v = g / r_primal
+        dv = dg / r_primal - g / (r_primal * r_primal) * r_tangent
+        return Dual(v, dv)
+
+
+gamma_implicit = GammaIMPLICIT()
+
+
+@Pytree.dataclass
+class DirichletIMPLICIT(TailCallADEVPrimitive):
+    """Implicit reparameterization for Dirichlet(alpha) draws: the dual
+    propagates through `jax.random.dirichlet`'s gamma-based sampler,
+    whose per-component gammas carry implicit pathwise derivatives. New
+    relative to the reference."""
+
+    def sample(self, key, *args):
+        (alpha,) = args
+        return jax.random.dirichlet(key, alpha)
+
+    def before_tail_call(self, key: PRNGKey, dual_tree) -> Dual:
+        (a_primal,) = Dual.tree_primal(dual_tree)
+        (a_tangent,) = Dual.tree_tangent(dual_tree)
+        key, sub_key = jax.random.split(key)
+        v, dv = jax.jvp(
+            lambda a: jax.random.dirichlet(sub_key, a), (a_primal,), (a_tangent,)
+        )
+        return Dual(v, dv)
+
+
+dirichlet_implicit = DirichletIMPLICIT()
+
+
+@Pytree.dataclass
 class Baseline(ADEVPrimitive):
     """Variance reduction: subtract a baseline `b` from the continuation
     value inside the wrapped strategy, then add it back outside."""

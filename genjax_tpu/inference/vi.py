@@ -14,6 +14,8 @@ from genjax_tpu.adev.core import ADEVPrimitive, expectation, sample_primitive
 from genjax_tpu.adev.primitives import (
     categorical_enum_parallel,
 )
+from genjax_tpu.adev.primitives import dirichlet_implicit as _dirichlet_implicit_prim
+from genjax_tpu.adev.primitives import gamma_implicit as _gamma_implicit_prim
 from genjax_tpu.adev.primitives import flip_enum as _flip_enum_prim
 from genjax_tpu.adev.primitives import flip_mvd as _flip_mvd_prim
 from genjax_tpu.adev.primitives import (
@@ -29,7 +31,9 @@ from genjax_tpu.adev.primitives import normal_reparam as _normal_reparam_prim
 from genjax_tpu.core.typing import FloatArray, PRNGKey
 from genjax_tpu.distributions.distribution import ExactDensity, exact_density
 from genjax_tpu.distributions.library import (
+    _dirichlet_logpdf,
     _flip_logpdf,
+    _gamma_logpdf,
     _geometric_logpdf,
     _mv_normal_diag_logpdf,
     _normal_logpdf,
@@ -79,6 +83,14 @@ geometric_reinforce = adev_distribution(
     _geometric_reinforce_prim,
     lambda v, p: _geometric_logpdf(v, probs=p),
     "geometric_reinforce",
+)
+# Implicit-reparameterized guides over positive / simplex supports (new
+# relative to the reference, which ships only the strategies above):
+gamma_reparam = adev_distribution(
+    _gamma_implicit_prim, _gamma_logpdf, "gamma_reparam"
+)
+dirichlet_reparam = adev_distribution(
+    _dirichlet_implicit_prim, _dirichlet_logpdf, "dirichlet_reparam"
 )
 
 GradientEstimate = Any
