@@ -123,8 +123,14 @@ class _SelectionBuilder:
         return Selection.leaf()
 
     def __getitem__(self, addr: ExtendedStaticAddress) -> "Selection":
+        # Subtree semantics (reference `choice_map.py:112-117`): S[p]
+        # selects p and every address beneath it, so selecting a submodel
+        # address covers the submodel's whole choice subtree. S[()] is
+        # the this-node-only leaf selection.
         addr = addr if isinstance(addr, tuple) else (addr,)
-        return Selection.leaf().extend(*addr)
+        if addr == ():
+            return Selection.leaf()
+        return Selection.all().extend(*addr)
 
 
 class Selection(Pytree):

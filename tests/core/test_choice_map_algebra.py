@@ -334,11 +334,15 @@ class TestSelectionRoundTrips:
     def test_extend_then_query_round_trip(self, path):
         sel = S[tuple(path)]
         assert tuple(path) in sel
-        # Strict prefixes are on the way but not themselves selected, and
-        # one extra component falls off the leaf.
+        # Strict prefixes are on the way but not themselves selected;
+        # extensions ARE selected (subtree semantics, reference
+        # choice_map.py:112-117 — selecting a submodel address covers its
+        # whole choice subtree).
         for cut in range(1, len(path)):
             assert tuple(path[:cut]) not in sel
-        assert (*path, "zz") not in sel
+        assert (*path, "zz") in sel
+        # S[()] is the this-node-only leaf selection.
+        assert "zz" not in S[()]
 
     @settings(max_examples=30, deadline=None)
     @given(tries, selections, selections)
@@ -428,3 +432,129 @@ class TestWildcardZeroOrOne:
         for path, _ in _paths(d):
             if _lookup(plain, path) is not None:
                 assert _lookup(wild, path) is not None
+
+
+class TestSelectionSemantics:
+    """Membership of random paths in random selection expressions follows
+    Boolean set semantics exactly (reference test_choice_maps.py's
+    selection-law block)."""
+
+    _paths_strategy = st.lists(
+        st.sampled_from(KEYS), min_size=1, max_size=3
+    ).map(tuple)
+
+    @settings(max_examples=80, deadline=None)
+    @given(_paths_strategy, _sel_exprs(2), _sel_exprs(2))
+    def test_or_and_not_membership(self, path, s1, s2):
+        assert (path in (s1 | s2)) == ((path in s1) or (path in s2))
+        assert (path in (s1 & s2)) == ((path in s1) and (path in s2))
+        assert (path in ~s1) == (path not in s1)
+
+    @settings(max_examples=40, deadline=None)
+    @given(_paths_strategy, _sel_exprs(1))
+    def test_de_morgan_membership(self, path, s):
+        assert (path in ~(s | Selection.none())) == (path in ~s)
+        assert (path in (s & Selection.all())) == (path in s)
+        assert path not in (s & Selection.none())
+        assert path in (s | Selection.all())
+
+    @settings(max_examples=40, deadline=None)
+    @given(_paths_strategy)
+    def test_prefix_selection_covers_subtrees(self, path):
+        """S[p] selects p and every extension of p (subtree semantics)."""
+        sel = S[path]
+        assert path in sel
+        assert (*path, "deeper") in sel
+
+
+class TestMergeLaws:
+    @settings(max_examples=40, deadline=None)
+    @given(tries, tries, tries)
+    def test_or_associative_observationally(self, d1, d2, d3):
+        a, b, c = ChoiceMap.d(d1), ChoiceMap.d(d2), ChoiceMap.d(d3)
+        lhs = (a | b) | c
+        rhs = a | (b | c)
+        for d in (d1, d2, d3):
+            for path, _ in _paths(d):
+                l, r = _lookup(lhs, path), _lookup(rhs, path)
+                assert (l is None) == (r is None), path
+                if l is not None:
+                    assert jnp.isclose(jnp.float32(l), jnp.float32(r))
+
+    @settings(max_examples=40, deadline=None)
+    @given(tries)
+    def test_or_idempotent(self, d):
+        chm = ChoiceMap.d(d)
+        merged = chm | chm
+        for path, v in _paths(d):
+            got = _lookup(merged, path)
+            assert got is not None
+            assert jnp.isclose(jnp.float32(got), jnp.float32(v))
+
+    @settings(max_examples=40, deadline=None)
+    @given(tries, st.sampled_from(KEYS))
+    def test_extend_round_trip(self, d, prefix):
+        chm = ChoiceMap.d(d)
+        extended = chm.extend(prefix)
+        inner = extended(prefix)
+        for path, v in _paths(d):
+            got = _lookup(inner, path)
+            assert got is not None, path
+            assert jnp.isclose(jnp.float32(got), jnp.float32(v))
+            also = _lookup(extended, (prefix, *path))
+            assert also is not None
+            assert jnp.isclose(jnp.float32(also), jnp.float32(v))
+
+
+class TestGFICoupling:
+    """Random tries drive generate/assess on a model with the same
+    address structure: the algebra must agree with the GFI's view
+    (the reference couples its hypothesis suite to importance calls)."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(tries)
+    def test_assess_score_is_sum_of_leaf_densities(self, d):
+        import jax
+
+        from genjax_tpu import gen, normal
+
+        paths = [p for p, _ in _paths(d)]
+
+        @gen
+        def model():
+            for p in paths:
+                _ = normal(0.0, 10.0) @ p
+
+        chm = ChoiceMap.d(d)
+        score, _ = model.assess(chm, ())
+        expected = sum(
+            -0.5 * (v / 10.0) ** 2 - jnp.log(10.0) - 0.5 * jnp.log(2 * jnp.pi)
+            for _, v in _paths(d)
+        )
+        assert jnp.allclose(score, expected, atol=1e-4)
+
+    @settings(max_examples=25, deadline=None)
+    @given(tries, _sel_exprs(1))
+    def test_importance_weight_matches_filtered_constraint(self, d, sel):
+        """generate with a filtered constraint: the weight is exactly the
+        density of the leaves the filter kept."""
+        import jax
+
+        from genjax_tpu import gen, normal
+
+        paths = [p for p, _ in _paths(d)]
+
+        @gen
+        def model():
+            for p in paths:
+                _ = normal(0.0, 10.0) @ p
+
+        chm = ChoiceMap.d(d)
+        kept = chm.filter(sel)
+        _, w = model.importance(jax.random.key(0), kept, ())
+        expected = sum(
+            -0.5 * (v / 10.0) ** 2 - jnp.log(10.0) - 0.5 * jnp.log(2 * jnp.pi)
+            for p, v in _paths(d)
+            if _lookup(kept, p) is not None
+        )
+        assert jnp.allclose(w, jnp.float32(expected), atol=1e-4)

@@ -218,3 +218,35 @@ class TestHypothesisAlgebra:
         sel = chm.get_selection()
         assert addr not in chm.filter(~sel)
         assert addr in chm.filter(sel)
+
+
+class TestSubtreeSelection:
+    """S[path] covers the whole subtree under path (reference
+    choice_map.py:112-117) — regression for the leaf-only bug where
+    project/Regenerate over a submodel address silently selected
+    nothing."""
+
+    def test_project_submodel_subtree(self):
+        import jax
+
+        import genjax_tpu as gx
+
+        @gx.gen
+        def inner():
+            return gx.normal(0.0, 1.0) @ "x"
+
+        @gx.gen
+        def outer():
+            return inner() @ "f"
+
+        tr = outer.simulate(jax.random.key(0), ())
+        w = tr.project(jax.random.key(1), S["f"])
+        assert jnp.allclose(w, tr.get_score())
+
+    def test_filter_submodel_subtree(self):
+        chm = ChoiceMap.d({("f", "x"): 1.0, ("f", "y"): 2.0, "z": 3.0})
+        kept = chm.filter(S["f"])
+        assert ("f", "x") in kept and ("f", "y") in kept
+        assert "z" not in kept
+        dropped = chm.filter(~S["f"])
+        assert "z" in dropped and ("f", "x") not in dropped
