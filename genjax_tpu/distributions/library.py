@@ -17,6 +17,7 @@ e.g. `normal(loc, scale)`, `gamma(concentration, rate)`,
 """
 
 import textwrap
+import math
 import warnings
 
 import jax
@@ -58,7 +59,10 @@ def native_distribution(sample_fn, logpdf_fn, name: str) -> ExactDensity:
         sample_shape = _maybe_sample_shape(kwargs)
         v = sample_fn(key, *args, **kwargs)
         if sample_shape:
-            keys = jax.random.split(key, int(jnp.prod(jnp.array(sample_shape))))
+            # `sample_shape` is static (a Const): the count must stay a
+            # Python int — jnp on constants is STAGED under jit (jax 0.9)
+            # and would make the split count a tracer.
+            keys = jax.random.split(key, math.prod(tuple(sample_shape)))
             flat = jax.vmap(lambda k: sample_fn(k, *args, **kwargs))(keys)
             return jnp.reshape(flat, tuple(sample_shape) + jnp.shape(v))
         return v
@@ -944,6 +948,10 @@ def _categorical_logpdf(v, *args, **kwargs):
         logits = jnp.log(probs)
     log_probs = log_softmax(logits, axis=-1)
     v = jnp.asarray(v, dtype=jnp.int32)
+    if jnp.ndim(log_probs) == 1:
+        # One shared logits row scored at scalar or batched draws (e.g.
+        # `sample_shape=` iid indices): a plain gather broadcasts.
+        return log_probs[v]
     return jnp.take_along_axis(log_probs, v[..., None], axis=-1)[..., 0]
 
 

@@ -1,23 +1,27 @@
-"""Benchmark model zoo (the BASELINE.md configs)."""
+"""Benchmark model zoo (the BASELINE.md configs) + application models."""
 
 from genjax_tpu.models.beta_bernoulli import beta_bernoulli, run_sir
+from genjax_tpu.models.gmm import make_gmm, run_gibbs, simulate_gmm_data
+from genjax_tpu.models.logreg import logistic_regression, run_hmc_chains, run_mala_chains
 from genjax_tpu.models.polyreg import polynomial_regression, run_is_mh
 from genjax_tpu.models.ssm import (
     make_ssm_models,
     run_bootstrap_filter,
     simulate_ssm_data,
 )
-from genjax_tpu.models.logreg import logistic_regression, run_hmc_chains, run_mala_chains
 
 __all__ = [
     "beta_bernoulli",
     "logistic_regression",
+    "make_gmm",
     "make_ssm_models",
     "polynomial_regression",
     "run_bootstrap_filter",
+    "run_gibbs",
     "run_hmc_chains",
     "run_is_mh",
     "run_mala_chains",
     "run_sir",
+    "simulate_gmm_data",
     "simulate_ssm_data",
 ]
