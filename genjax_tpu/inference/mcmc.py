@@ -78,8 +78,12 @@ def mh(
     )
     alpha = _log_accept_ratio(k_move, trace, proposed, request, w)
     accept = jnp.log(jax.random.uniform(k_accept)) < alpha
+    # Identity-aware select: leaves the edit passed through untouched
+    # (model args, unedited subtrace values) are the SAME tracer on both
+    # sides — selecting them would materialize a copy of the whole trace
+    # per step (hundreds of MB at 8k chains).
     new_trace = jtu.tree_map(
-        lambda a, b: jnp.where(accept, a, b), proposed, trace
+        lambda a, b: a if a is b else jnp.where(accept, a, b), proposed, trace
     )
     return new_trace, accept
 
@@ -156,18 +160,57 @@ def gibbs_chain(
     return jax.lax.scan(sweep, trace, keys)
 
 
+def share_chain_args(traces: Trace[R], args: tuple) -> Trace[R]:
+    """Replace a batch-of-chains trace's per-chain argument copies with
+    ONE shared (unbatched) copy.
+
+    A `vmap`-built chain batch broadcasts the model arguments into every
+    chain's trace; for data-conditioned models that N×data copy is most
+    of the trace, and every density evaluation inside HMC/MALA re-reads
+    its own copy — turning one shared-operand matmul into a batched
+    matmul over N identical operands. `run_chains` detects the unbatched
+    leaves (no leading chain axis) and maps them with `in_axes=None`, so
+    the compiled program reads the single shared copy."""
+    import dataclasses
+
+    return dataclasses.replace(traces, args=args)
+
+
+def _chain_axes(tree, n_chains: int):
+    """Per-leaf vmap axes for a chain batch: 0 for leaves carrying the
+    leading chain axis, None for shared (unbatched) leaves."""
+    return jtu.tree_map(
+        lambda v: 0
+        if getattr(v, "ndim", 0) >= 1 and v.shape[0] == n_chains
+        else None,
+        tree,
+    )
+
+
 def run_chains(
     key: PRNGKey,
     traces: Trace[R],
     request: EditRequest,
     n_steps: int,
     collect: Callable[[Trace[R]], Any] | None = None,
+    n_chains: int | None = None,
 ):
     """Vectorized MH over a batch of chains (traces with a leading chain
     axis). Shard the chain axis with `genjax_tpu.parallel.chains` to run
-    across the device mesh."""
-    n_chains = jtu.tree_leaves(traces)[0].shape[0]
+    across the device mesh.
+
+    Leaves WITHOUT the chain axis (e.g. shared model arguments after
+    `share_chain_args`) are mapped as broadcast (`in_axes=None`) and stay
+    a single copy through the whole chain program. (A shared leaf whose
+    leading dimension happens to equal the chain count is
+    indistinguishable from a batched one — pass an explicit `n_chains`
+    or reshape in that unlikely case.)"""
+    if n_chains is None:
+        n_chains = jnp.shape(traces.get_score())[0]
+    axes = _chain_axes(traces, n_chains)
     keys = jax.random.split(key, n_chains)
-    return jax.vmap(lambda k, tr: mh_chain(k, tr, request, n_steps, collect))(
-        keys, traces
-    )
+    return jax.vmap(
+        lambda k, tr: mh_chain(k, tr, request, n_steps, collect),
+        in_axes=(0, axes),
+        out_axes=(axes, 0),
+    )(keys, traces)

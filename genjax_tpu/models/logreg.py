@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from genjax_tpu import ChoiceMap, Selection, bernoulli, gen, mv_normal_diag
-from genjax_tpu.inference.mcmc import run_chains
+from genjax_tpu.inference.mcmc import run_chains, share_chain_args
 from genjax_tpu.inference.requests import HMC, MALA
 
 
@@ -38,7 +38,10 @@ def _init_chains(key, X, ys, n_chains):
     trs, _ = jax.vmap(
         lambda k: logistic_regression.importance(k, ChoiceMap.kw(ys=ys), (X,))
     )(keys)
-    return trs
+    # One shared copy of the (N, D) design matrix instead of n_chains
+    # broadcast copies — every HMC density pass then reads the shared
+    # operand (see mcmc.share_chain_args).
+    return share_chain_args(trs, (X,))
 
 
 def run_hmc_chains(
