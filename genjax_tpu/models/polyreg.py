@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from genjax_tpu import ChoiceMap, Selection, gen, mv_normal_diag, normal
-from genjax_tpu.inference.mcmc import mh
+from genjax_tpu.inference.mcmc import _chain_axes, mh, share_chain_args
 from genjax_tpu.inference.requests import MALA
 from genjax_tpu.inference.smc import ParticleCollection
 from genjax_tpu.inference.sp import Target
@@ -43,16 +43,25 @@ def run_is_mh(
 
     request = MALA(Selection.at["coeffs"], jnp.asarray(step_size))
 
+    # Rejuvenation reads the design points every density pass: store ONE
+    # shared copy of the model args across particles (see
+    # mcmc.share_chain_args) instead of the vmap-broadcast per-particle
+    # copies.
+    particles0 = share_chain_args(
+        collection.get_particles(), (xs, obs_noise)
+    )
+    axes = _chain_axes(particles0, n_particles)
+
     def sweep(particles, k):
         sub_keys = jax.random.split(k, n_particles)
-        new_particles = jax.vmap(lambda kk, tr: mh(kk, tr, request)[0])(
-            sub_keys, particles
-        )
+        new_particles = jax.vmap(
+            lambda kk, tr: mh(kk, tr, request)[0], in_axes=(0, axes), out_axes=axes
+        )(sub_keys, particles)
         return new_particles, None
 
     particles, _ = jax.lax.scan(
         sweep,
-        collection.get_particles(),
+        particles0,
         jax.random.split(k_rejuv, n_rejuvenation),
     )
     return lml, particles.get_choices()["coeffs"]

@@ -38,11 +38,16 @@ def sharded_mh_chains(
     """
     from genjax_tpu.inference.mcmc import mh_chain
 
-    n_chains = jtu.tree_leaves(traces)[0].shape[0]
+    n_chains = jnp.shape(traces.get_score())[0]
     keys = jax.random.split(key, n_chains)
 
+    # Leaves carrying the leading chain axis shard over it; shared leaves
+    # (e.g. model args after `mcmc.share_chain_args`) replicate.
     trace_specs = jtu.tree_map(
-        lambda v: P(axis, *([None] * (jnp.ndim(v) - 1))), traces
+        lambda v: P(axis, *([None] * (jnp.ndim(v) - 1)))
+        if jnp.ndim(v) >= 1 and jnp.shape(v)[0] == n_chains
+        else P(),
+        traces,
     )
 
     @partial(
