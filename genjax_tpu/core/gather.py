@@ -29,9 +29,15 @@ def _packable(leaf) -> bool:
         return False
 
 
-def take_rows(tree, idx):
+def take_rows(tree, idx, n_rows: int | None = None):
     """`tree_map(lambda v: v[idx], tree)` over the leading axis, lowered
     as one packed row-gather per dtype group.
+
+    With `n_rows` given, leaves whose leading dimension is not `n_rows`
+    are treated as SHARED across rows and pass through untouched — the
+    layout produced by `mcmc.share_chain_args`, where per-particle traces
+    reference one copy of the model arguments (gathering N identical
+    copies would be pure wasted bandwidth).
 
     >>> import jax.numpy as jnp
     >>> from genjax_tpu.core.gather import take_rows
@@ -41,6 +47,10 @@ def take_rows(tree, idx):
     [2.0, 0.0]
     >>> out["b"].tolist()
     [[4.0, 5.0], [0.0, 1.0]]
+    >>> shared = {"w": jnp.arange(4.0), "X": jnp.zeros((7, 3))}
+    >>> out = take_rows(shared, jnp.array([1, 1, 0, 2]), n_rows=4)
+    >>> out["X"].shape  # shared leaf untouched
+    (7, 3)
     """
     leaves, treedef = jtu.tree_flatten(tree)
     if not leaves:
@@ -50,7 +60,10 @@ def take_rows(tree, idx):
 
     groups: dict = {}
     for i, leaf in enumerate(leaves):
-        if _packable(leaf) and getattr(leaf, "ndim", 0) >= 1:
+        ndim = getattr(leaf, "ndim", 0)
+        if n_rows is not None and (ndim == 0 or jnp.shape(leaf)[0] != n_rows):
+            out[i] = leaf  # shared across rows
+        elif _packable(leaf) and ndim >= 1:
             groups.setdefault(jnp.result_type(leaf), []).append(i)
         else:
             out[i] = jtu.tree_map(lambda v: v[idx], leaf)

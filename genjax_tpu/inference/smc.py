@@ -241,7 +241,7 @@ class ParticleCollection(Generic[R], Pytree):
         anc = RESAMPLERS[method](key, self.log_weights, n)
         # One packed row-gather instead of a per-leaf scalar gather
         # (18.6x at 1M particles; see core/gather.py).
-        new_particles = take_rows(self.particles, anc)
+        new_particles = take_rows(self.particles, anc, n_rows=n)
         # After resampling, each particle carries the average weight.
         avg_lw = logsumexp(self.log_weights) - jnp.log(n)
         return ParticleCollection(
@@ -603,7 +603,13 @@ class SMCDriver(Generic[R], Pytree):
             )
             return new_tr, w + discarded_score
 
-        new_particles, ws = jax.vmap(_extend)(sub_keys, collection.get_particles())
+        from genjax_tpu.inference.mcmc import _chain_axes
+
+        particles = collection.get_particles()
+        axes = _chain_axes(particles, self.n_particles)
+        new_particles, ws = jax.vmap(
+            _extend, in_axes=(0, axes), out_axes=(axes, 0)
+        )(sub_keys, particles)
         return ParticleCollection(
             new_particles, collection.get_log_weights() + ws, collection.is_valid
         )
@@ -626,7 +632,13 @@ class SMCDriver(Generic[R], Pytree):
             new_tr, _accepted = mh(key, particle, request)
             return new_tr
 
-        new_particles = jax.vmap(_move)(sub_keys, collection.get_particles())
+        from genjax_tpu.inference.mcmc import _chain_axes
+
+        particles = collection.get_particles()
+        axes = _chain_axes(particles, self.n_particles)
+        new_particles = jax.vmap(_move, in_axes=(0, axes), out_axes=axes)(
+            sub_keys, particles
+        )
         return ParticleCollection(
             new_particles, collection.get_log_weights(), collection.is_valid
         )

@@ -35,15 +35,23 @@ def shard_leading_axis(tree, mesh: Mesh, axis_name: str = "particles"):
     return jtu.tree_map(place, tree)
 
 
-def constrain_leading_axis(tree, mesh: Mesh, axis_name: str = "particles"):
+def constrain_leading_axis(
+    tree, mesh: Mesh, axis_name: str = "particles", n_rows: int | None = None
+):
     """`with_sharding_constraint` version of `shard_leading_axis` for use
     inside jit — keeps XLA's SPMD partitioner honest about the particle
-    layout so collectives are inserted where intended."""
+    layout so collectives are inserted where intended.
+
+    With `n_rows` given, leaves whose leading dimension differs are
+    SHARED across the particle axis (`mcmc.share_chain_args` layout) and
+    are constrained replicated instead of sharded."""
 
     def constrain(v):
         ndim = getattr(v, "ndim", 0)
         if ndim == 0:
             return v
+        if n_rows is not None and v.shape[0] != n_rows:
+            return jax.lax.with_sharding_constraint(v, NamedSharding(mesh, P()))
         spec = P(axis_name, *([None] * (ndim - 1)))
         return jax.lax.with_sharding_constraint(v, NamedSharding(mesh, spec))
 

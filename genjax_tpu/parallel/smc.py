@@ -131,7 +131,9 @@ class ShardedSMC(Generic[R], Pytree):
     ess_threshold: float = Pytree.static(default=0.5)
 
     def _constrain(self, tree):
-        return constrain_leading_axis(tree, self.mesh, self.axis)
+        return constrain_leading_axis(
+            tree, self.mesh, self.axis, n_rows=self.n_particles
+        )
 
     def init(self, key: PRNGKey, target: Target[R]) -> ParticleCollection[R]:
         sub_keys = jax.random.split(key, self.n_particles)
@@ -171,7 +173,13 @@ class ShardedSMC(Generic[R], Pytree):
             new_tr, w, _, _ = particle.get_gen_fn().update(key, particle, constraint, ad)
             return new_tr, w + discarded
 
-        new_particles, ws = jax.vmap(_extend)(sub_keys, collection.get_particles())
+        from genjax_tpu.inference.mcmc import _chain_axes
+
+        particles = collection.get_particles()
+        axes = _chain_axes(particles, self.n_particles)
+        new_particles, ws = jax.vmap(
+            _extend, in_axes=(0, axes), out_axes=(axes, 0)
+        )(sub_keys, particles)
         return ParticleCollection(
             self._constrain(new_particles),
             self._constrain(collection.get_log_weights() + ws),
@@ -190,7 +198,9 @@ class ShardedSMC(Generic[R], Pytree):
         # dtype instead of a per-leaf scalar gather; XLA partitions it into
         # the minimal cross-shard exchange (systematic ancestors are
         # near-sorted, so most rows stay shard-local).
-        new_particles = take_rows(collection.get_particles(), anc)
+        new_particles = take_rows(
+            collection.get_particles(), anc, n_rows=self.n_particles
+        )
         avg_lw = self.lml(collection)
         n = self.n_particles
         return ParticleCollection(
@@ -204,7 +214,13 @@ class ShardedSMC(Generic[R], Pytree):
     ) -> ParticleCollection[R]:
         do = self.ess(collection) < self.ess_threshold * self.n_particles
         resampled = self.resample(key, collection)
-        return jtu.tree_map(lambda a, b: jnp.where(do, a, b), resampled, collection)
+        # Identity-aware select: leaves resampling passed through (shared
+        # model args under the `share_chain_args` layout) skip the where.
+        return jtu.tree_map(
+            lambda a, b: a if a is b else jnp.where(do, a, b),
+            resampled,
+            collection,
+        )
 
     def rejuvenate(
         self, key: PRNGKey, collection: ParticleCollection[R], request
@@ -220,7 +236,13 @@ class ShardedSMC(Generic[R], Pytree):
             new_tr, _ = mh(key, particle, request)
             return new_tr
 
-        new_particles = jax.vmap(_move)(sub_keys, collection.get_particles())
+        from genjax_tpu.inference.mcmc import _chain_axes
+
+        particles = collection.get_particles()
+        axes = _chain_axes(particles, self.n_particles)
+        new_particles = jax.vmap(_move, in_axes=(0, axes), out_axes=axes)(
+            sub_keys, particles
+        )
         return ParticleCollection(
             self._constrain(new_particles),
             collection.get_log_weights(),

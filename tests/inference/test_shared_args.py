@@ -1,0 +1,191 @@
+"""Shared-args chain/particle layout (`mcmc.share_chain_args`): chains
+and particle collections carry ONE copy of the model arguments; every
+driver (run_chains, resampling, sharded SMC) maps them broadcast instead
+of gathering/selecting N identical copies."""
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import pytest
+
+import genjax_tpu as g
+from genjax_tpu import ChoiceMap, Selection
+from genjax_tpu.core.gather import take_rows
+from genjax_tpu.inference.mcmc import mh_chain, run_chains, share_chain_args
+from genjax_tpu.inference.requests import MALA
+from genjax_tpu.inference.smc import ParticleCollection
+
+
+@g.gen
+def regression(X):
+    w = g.mv_normal_diag(jnp.zeros(3), jnp.ones(3)) @ "w"
+    _ = g.normal(X @ w, 1.0) @ "ys"
+
+
+X = jax.random.normal(jax.random.key(9), (32, 3))
+YS = jnp.zeros(32)
+N = 64
+
+
+def make_chains():
+    keys = jax.random.split(jax.random.key(0), N)
+    trs, ws = jax.vmap(
+        lambda k: regression.importance(k, ChoiceMap.kw(ys=YS), (X,))
+    )(keys)
+    return share_chain_args(trs, (X,)), ws
+
+
+class TestSharedChains:
+    def test_args_unbatched(self):
+        trs, _ = make_chains()
+        assert trs.get_args()[0].shape == (32, 3)
+        assert trs.get_score().shape == (N,)
+
+    def test_run_chains_preserves_layout_and_correctness(self):
+        trs, _ = make_chains()
+        req = MALA(Selection.at["w"], jnp.asarray(1e-2))
+        finals, accs = run_chains(jax.random.key(1), trs, req, 10)
+        assert finals.get_args()[0].shape == (32, 3)  # still shared
+        assert accs.shape == (N, 10)
+        # Every chain's score is a fresh exact joint of its choices.
+        ws = finals.get_choices()["w"]
+        scores = jax.vmap(
+            lambda w: regression.assess(
+                ChoiceMap.kw(w=w, ys=YS), (X,)
+            )[0]
+        )(ws)
+        assert jnp.allclose(finals.get_score(), scores, atol=1e-4)
+
+    def test_chain_results_match_batched_layout(self):
+        """Shared-args and broadcast-args chains compute identical
+        results (same keys, same densities)."""
+        keys = jax.random.split(jax.random.key(0), N)
+        trs_b, _ = jax.vmap(
+            lambda k: regression.importance(k, ChoiceMap.kw(ys=YS), (X,))
+        )(keys)
+        trs_s = share_chain_args(trs_b, (X,))
+        req = MALA(Selection.at["w"], jnp.asarray(1e-2))
+        f_b, _ = run_chains(jax.random.key(1), trs_b, req, 5)
+        f_s, _ = run_chains(jax.random.key(1), trs_s, req, 5)
+        assert jnp.allclose(
+            f_b.get_choices()["w"], f_s.get_choices()["w"], atol=1e-6
+        )
+
+
+class TestSharedParticles:
+    def test_take_rows_passes_shared_leaves_through(self):
+        tree = {"w": jnp.arange(8.0), "X": X}
+        out = take_rows(tree, jnp.array([3, 3, 0, 1, 2, 2, 7, 5]), n_rows=8)
+        assert out["X"] is tree["X"]
+        assert jnp.allclose(out["w"][:2], 3.0)
+
+    def test_collection_resample_with_shared_args(self):
+        keys = jax.random.split(jax.random.key(2), N)
+        trs, ws = jax.vmap(
+            lambda k: regression.importance(k, ChoiceMap.kw(ys=YS), (X,))
+        )(keys)
+        trs = share_chain_args(trs, (X,))
+        coll = ParticleCollection(trs, ws, jnp.array(True))
+        res = coll.resample(jax.random.key(3), "systematic")
+        new = res.get_particles()
+        # shared arg survives unbatched and untouched
+        assert new.get_args()[0].shape == (32, 3)
+        assert jnp.array_equal(new.get_args()[0], X)
+        # gathered state is consistent: every particle's score matches a
+        # fresh assess against the SHARED design matrix
+        scores = jax.vmap(
+            lambda w: regression.assess(ChoiceMap.kw(w=w, ys=YS), (X,))[0]
+        )(new.get_choices()["w"])
+        assert jnp.allclose(new.get_score(), scores, atol=1e-4)
+
+    def test_sharded_smc_resample_with_shared_args(self):
+        from genjax_tpu.parallel import ShardedSMC, particle_mesh
+
+        mesh = particle_mesh(8)
+        keys = jax.random.split(jax.random.key(4), 128)
+        trs, ws = jax.vmap(
+            lambda k: regression.importance(k, ChoiceMap.kw(ys=YS), (X,))
+        )(keys)
+        trs = share_chain_args(trs, (X,))
+        coll = ParticleCollection(trs, ws, jnp.array(True))
+        smc = ShardedSMC(n_particles=128, mesh=mesh)
+        out = jax.jit(smc.maybe_resample)(jax.random.key(5), coll)
+        parts = out.get_particles()
+        assert parts.get_args()[0].shape == (32, 3)
+        scores = jax.vmap(
+            lambda w: regression.assess(ChoiceMap.kw(w=w, ys=YS), (X,))[0]
+        )(parts.get_choices()["w"])
+        assert jnp.allclose(parts.get_score(), scores, atol=1e-4)
+
+
+class TestSharedArgsDrivers:
+    def test_smcdriver_extend_rejuvenate_shared(self):
+        from genjax_tpu.inference.smc import SMCDriver
+        from genjax_tpu.inference.sp import Target
+        from genjax_tpu.core.requests import Regenerate
+
+        @g.gen
+        def seq(X):
+            w = g.mv_normal_diag(jnp.zeros(3), jnp.ones(3)) @ "w"
+            y0 = g.normal(jnp.sum(X[0] * w), 1.0) @ "y0"
+            y1 = g.normal(jnp.sum(X[1] * w), 1.0) @ "y1"
+            return y0 + y1
+
+        driver = SMCDriver(n_particles=N)
+        target = Target(seq, (X,), ChoiceMap.kw(y0=0.5))
+        coll = driver.init(jax.random.key(0), target)
+        coll = ParticleCollection(
+            share_chain_args(coll.get_particles(), (X,)),
+            coll.get_log_weights(),
+            coll.is_valid,
+        )
+        coll = driver.extend(jax.random.key(1), coll, ChoiceMap.kw(y1=-0.25))
+        coll = driver.rejuvenate(
+            jax.random.key(2), coll, Regenerate(Selection.at["w"])
+        )
+        parts = coll.get_particles()
+        assert parts.get_args()[0].shape == (32, 3)
+        ws = parts.get_choices()["w"]
+        scores = jax.vmap(
+            lambda w: seq.assess(
+                ChoiceMap.kw(w=w, y0=0.5, y1=-0.25), (X,)
+            )[0]
+        )(ws)
+        assert jnp.allclose(parts.get_score(), scores, atol=1e-4)
+
+    def test_sharded_extend_rejuvenate_shared(self):
+        from genjax_tpu.parallel import ShardedSMC, particle_mesh
+        from genjax_tpu.inference.sp import Target
+        from genjax_tpu.core.requests import Regenerate
+
+        @g.gen
+        def seq(X):
+            w = g.mv_normal_diag(jnp.zeros(3), jnp.ones(3)) @ "w"
+            y0 = g.normal(jnp.sum(X[0] * w), 1.0) @ "y0"
+            y1 = g.normal(jnp.sum(X[1] * w), 1.0) @ "y1"
+            return y0 + y1
+
+        mesh = particle_mesh(8)
+        smc = ShardedSMC(n_particles=128, mesh=mesh)
+        target = Target(seq, (X,), ChoiceMap.kw(y0=0.5))
+        coll = jax.jit(smc.init)(jax.random.key(0), target)
+        coll = ParticleCollection(
+            share_chain_args(coll.get_particles(), (X,)),
+            coll.get_log_weights(),
+            coll.is_valid,
+        )
+        coll = jax.jit(
+            lambda k, c: smc.extend(k, c, ChoiceMap.kw(y1=-0.25))
+        )(jax.random.key(1), coll)
+        coll = jax.jit(
+            lambda k, c: smc.rejuvenate(k, c, Regenerate(Selection.at["w"]))
+        )(jax.random.key(2), coll)
+        parts = coll.get_particles()
+        assert parts.get_args()[0].shape == (32, 3)
+        ws = parts.get_choices()["w"]
+        scores = jax.vmap(
+            lambda w: seq.assess(
+                ChoiceMap.kw(w=w, y0=0.5, y1=-0.25), (X,)
+            )[0]
+        )(ws)
+        assert jnp.allclose(parts.get_score(), scores, atol=1e-4)
