@@ -54,6 +54,27 @@ def main():
     )
     assert jnp.abs(jnp.mean(finals.get_choices()["x"]) - 0.5) < 0.15
 
+    # --- multi-host: islands over DCN, particles over ICI ---
+    # The island decomposition runs the SAME GridSMC driver with its
+    # chain axis on the slow interconnect tier: islands never exchange
+    # particles, only O(1) scalar diagnostics; per-island LML estimates
+    # pool without bias in density space. Single-process this degrades
+    # to a reshaped local mesh, so the code is identical in tests and
+    # on a pod (after `initialize_multihost()`).
+    from genjax_tpu.parallel import hybrid_mesh, island_smc, pooled_lml
+
+    n_dev = len(jax.devices())
+    hmesh = (
+        hybrid_mesh(island_devices=2, particle_devices=n_dev // 2)
+        if n_dev >= 2
+        else hybrid_mesh()
+    )
+    islands = island_smc(n_islands=2, n_particles=2048, mesh=hmesh)
+    col = jax.jit(islands.init)(jax.random.key(3), target)
+    lmls = jax.jit(islands.per_chain_lml)(col)           # (2,) per island
+    assert jnp.abs(pooled_lml(lmls) - exact) < 0.1
+    col = jax.jit(islands.maybe_resample)(jax.random.key(4), col)
+
     print("tpu scaling cookbook OK")
 
 
