@@ -207,7 +207,15 @@ class ParticleCollection(Generic[R], Pytree):
         return self.particles
 
     def get_particle(self, idx) -> Trace[R]:
-        return jtu.tree_map(lambda v: v[idx], self.particles)
+        n = self.log_weights.shape[0]
+        # Shared leaves (the `share_chain_args` layout: no leading
+        # particle axis) belong to every particle as-is.
+        return jtu.tree_map(
+            lambda v: v[idx]
+            if jnp.ndim(v) >= 1 and jnp.shape(v)[0] == n
+            else v,
+            self.particles,
+        )
 
     def get_log_weights(self) -> FloatArray:
         return self.log_weights
@@ -413,6 +421,13 @@ class ImportanceK(Generic[R], SMCAlgorithm[R]):
             trs, target_scores = jax.vmap(self.target.importance, in_axes=(0, None))(
                 gen_keys, ChoiceMap.empty()
             )
+        # One shared copy of the target's arguments across particles
+        # (vmap broadcasts them into every trace; for data-conditioned
+        # targets that copy is most of the collection) — every driver,
+        # resampler and reweighting path understands this layout.
+        from genjax_tpu.inference.mcmc import share_chain_args
+
+        trs = share_chain_args(trs, self.target.args)
         return ParticleCollection(
             trs, target_scores - log_weights, jnp.array(True)
         )
@@ -468,10 +483,15 @@ class ChangeTarget(Generic[R], SMCAlgorithm[R]):
             this_weight = new_weight - particle.get_score() + weight
             return (new_trace, this_weight)
 
-        sub_keys = jax.random.split(key, self.get_num_particles())
-        new_particles, new_weights = jax.vmap(_reweight)(
-            sub_keys, collection.get_particles(), collection.get_log_weights()
-        )
+        from genjax_tpu.inference.mcmc import _chain_axes
+
+        n = self.get_num_particles()
+        particles = collection.get_particles()
+        axes = _chain_axes(particles, n)
+        sub_keys = jax.random.split(key, n)
+        new_particles, new_weights = jax.vmap(
+            _reweight, in_axes=(0, axes, 0), out_axes=(axes, 0)
+        )(sub_keys, particles, collection.get_log_weights())
         return ParticleCollection(new_particles, new_weights, jnp.array(True))
 
     def run_smc(self, key: PRNGKey) -> ParticleCollection[R]:
@@ -500,9 +520,14 @@ class ChangeTarget(Generic[R], SMCAlgorithm[R]):
             this_weight = new_score - particle.get_score() + weight
             return this_weight
 
-        sub_keys = jax.random.split(k_rw, self.get_num_particles())
-        new_weights = jax.vmap(_reweight)(
-            sub_keys, collection.get_particles(), collection.get_log_weights()
+        from genjax_tpu.inference.mcmc import _chain_axes
+
+        n = self.get_num_particles()
+        particles = collection.get_particles()
+        axes = _chain_axes(particles, n)
+        sub_keys = jax.random.split(k_rw, n)
+        new_weights = jax.vmap(_reweight, in_axes=(0, axes, 0))(
+            sub_keys, particles, collection.get_log_weights()
         )
         # Average the reweighted collection against the retained sample's
         # contribution `w`.
