@@ -70,10 +70,28 @@ class GridSMC(Generic[R], Pytree):
     def _spec(self, *extra):
         return P(self.chain_axis, self.particle_axis, *extra)
 
+    def _is_grid_leaf(self, v) -> bool:
+        return (
+            getattr(v, "ndim", 0) >= 2
+            and v.shape[0] == self.n_chains
+            and v.shape[1] == self.n_particles
+        )
+
+    def _grid_axes(self, tree):
+        """Per-leaf vmap axes: 0 for leaves carrying the (C, K) grid,
+        None for shared leaves (the `share_chain_args` layout)."""
+        return jtu.tree_map(
+            lambda v: 0 if self._is_grid_leaf(v) else None, tree
+        )
+
     def _constrain(self, tree):
         sharding = NamedSharding(self.mesh, self._spec())
+        replicated = NamedSharding(self.mesh, P())
         return jtu.tree_map(
-            lambda v: jax.lax.with_sharding_constraint(v, sharding), tree
+            lambda v: jax.lax.with_sharding_constraint(
+                v, sharding if self._is_grid_leaf(v) else replicated
+            ),
+            tree,
         )
 
     def _grid_keys(self, key: PRNGKey):
@@ -86,10 +104,15 @@ class GridSMC(Generic[R], Pytree):
     # -- lifecycle ---------------------------------------------------------
 
     def init(self, key: PRNGKey, target: Target[R]) -> ParticleCollection[R]:
+        from genjax_tpu.inference.mcmc import share_chain_args
+
         keys = self._grid_keys(key)
         trs, ws = jax.vmap(
             jax.vmap(target.importance, in_axes=(0, None)), in_axes=(0, None)
         )(keys, ChoiceMap.empty())
+        # One shared copy of the target's arguments across the grid (see
+        # mcmc.share_chain_args / ARCHITECTURE.md 4b).
+        trs = share_chain_args(trs, target.args)
         return ParticleCollection(
             self._constrain(trs), self._constrain(ws), jnp.array(True)
         )
@@ -198,8 +221,15 @@ class GridSMC(Generic[R], Pytree):
         anc = self._per_chain_ancestors(key, collection.get_log_weights())
         # Per-chain packed row-take along the particle axis (vmapped over
         # chains; see core/gather.py); XLA's SPMD partitioner inserts the
-        # minimal cross-shard exchange.
-        new_particles = jax.vmap(take_rows)(collection.get_particles(), anc)
+        # minimal cross-shard exchange. Shared leaves ride along unmapped
+        # and untouched.
+        particles = collection.get_particles()
+        axes = self._grid_axes(particles)
+        new_particles = jax.vmap(
+            lambda p, a: take_rows(p, a, n_rows=self.n_particles),
+            in_axes=(axes, 0),
+            out_axes=axes,
+        )(particles, anc)
         avg = self.per_chain_lml(collection)  # (C,)
         new_lw = jnp.broadcast_to(avg[:, None], (self.n_chains, self.n_particles))
         return ParticleCollection(
@@ -253,9 +283,13 @@ class GridSMC(Generic[R], Pytree):
             )
             return new_tr, w + discarded
 
-        new_particles, ws = jax.vmap(jax.vmap(_extend))(
-            keys, collection.get_particles()
-        )
+        particles = collection.get_particles()
+        axes = self._grid_axes(particles)
+        new_particles, ws = jax.vmap(
+            jax.vmap(_extend, in_axes=(0, axes), out_axes=(axes, 0)),
+            in_axes=(0, axes),
+            out_axes=(axes, 0),
+        )(keys, particles)
         return ParticleCollection(
             self._constrain(new_particles),
             self._constrain(collection.get_log_weights() + ws),
@@ -273,7 +307,13 @@ class GridSMC(Generic[R], Pytree):
             new_tr, _ = mh(key, particle, request)
             return new_tr
 
-        new_particles = jax.vmap(jax.vmap(_move))(keys, collection.get_particles())
+        particles = collection.get_particles()
+        axes = self._grid_axes(particles)
+        new_particles = jax.vmap(
+            jax.vmap(_move, in_axes=(0, axes), out_axes=axes),
+            in_axes=(0, axes),
+            out_axes=axes,
+        )(keys, particles)
         return ParticleCollection(
             self._constrain(new_particles),
             collection.get_log_weights(),

@@ -161,3 +161,44 @@ class TestGridMoves:
             (2 * jnp.pi) ** 2 * jnp.linalg.det(cov)
         )
         assert jnp.max(jnp.abs(lmls - exact)) < 0.15
+
+
+class TestGridSharedArgs:
+    """GridSMC with a data-conditioned target keeps ONE copy of the
+    dataset across the whole (chains x particles) grid."""
+
+    def test_full_round_with_shared_args(self):
+        import genjax_tpu as g
+
+        @g.gen
+        def reg(X):
+            w = g.mv_normal_diag(jnp.zeros(3), jnp.ones(3)) @ "w"
+            _ = g.normal(X @ w, 1.0) @ "ys"
+
+        X = jax.random.normal(jax.random.key(11), (16, 3))
+        tgt = Target(reg, (X,), ChoiceMap.kw(ys=jnp.zeros(16)))
+        mesh = grid_mesh(2, 4)
+        smc = GridSMC(n_chains=2, n_particles=64, mesh=mesh)
+        coll = jax.jit(smc.init)(jax.random.key(0), tgt)
+        # args stored once, unbatched
+        assert coll.get_particles().get_args()[0].shape == (16, 3)
+        lmls = jax.jit(smc.per_chain_lml)(coll)
+        assert lmls.shape == (2,)
+        coll = jax.jit(smc.maybe_resample)(jax.random.key(1), coll)
+        coll = jax.jit(
+            lambda k, c: smc.rejuvenate(
+                k, c, g.Regenerate(Selection.at["w"])
+            )
+        )(jax.random.key(2), coll)
+        parts = coll.get_particles()
+        assert parts.get_args()[0].shape == (16, 3)
+        # every grid cell's score is the exact joint of its choices
+        ws = parts.get_choices()["w"]
+        scores = jax.vmap(
+            jax.vmap(
+                lambda w: reg.assess(
+                    ChoiceMap.kw(w=w, ys=jnp.zeros(16)), (X,)
+                )[0]
+            )
+        )(ws)
+        assert jnp.allclose(parts.get_score(), scores, atol=1e-4)
