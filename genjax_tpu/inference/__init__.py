@@ -1,6 +1,6 @@
 """Inference library: GenSP targets/algorithms, SMC, MCMC, VI."""
 
-from genjax_tpu.inference import mcmc, requests, smc
+from genjax_tpu.inference import mcmc, requests, smc, tempered
 from genjax_tpu.inference.sp import (
     Algorithm,
     Marginal,
@@ -25,5 +25,6 @@ __all__ = [
     "mcmc",
     "requests",
     "smc",
+    "tempered",
     *_vi,
 ]
