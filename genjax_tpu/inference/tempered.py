@@ -208,3 +208,115 @@ class TemperedSMC(Generic[R], Pytree):
             (self.betas[:-1], self.betas[1:], step_keys),
         )
         return ParticleCollection(particles, lw, jnp.array(True)), log_z
+
+    def run_adaptive(
+        self,
+        key: PRNGKey,
+        target: Target[R],
+        n_steps: int = 20,
+        target_ess: float = 0.5,
+    ) -> tuple[ParticleCollection[R], FloatArray, FloatArray]:
+        """Adaptive ladder: each step picks the largest temperature
+        increment whose reweighted ESS stays at `target_ess * K`
+        (bisection on a static iteration count — no dynamic shapes; once
+        beta reaches 1 the remaining steps are exact no-ops). Returns
+        `(collection, log_z, betas_visited)`; `self.betas` is ignored.
+
+        This is the standard adaptive-tempering scheme (e.g. Jasra et
+        al. 2011): the ladder density adapts to where the likelihood
+        actually bends, typically halving the steps a fixed ladder needs.
+        """
+        from genjax_tpu.core.gather import take_rows
+        from genjax_tpu.inference.mcmc import share_chain_args
+
+        obs_selection = target.constraint.get_selection()
+        request = self.request
+
+        k_init, k_ladder = jax.random.split(key)
+        init_keys = jax.random.split(k_init, self.n_particles)
+        trs, _ = jax.vmap(target.importance, in_axes=(0, None))(
+            init_keys, ChoiceMap.empty()
+        )
+        trs = share_chain_args(trs, target.args)
+        logliks = jax.vmap(
+            lambda k, t: _loglik(k, t, obs_selection),
+            in_axes=(0, _chain_axes(trs, self.n_particles)),
+        )(init_keys, trs)
+
+        ess_goal = target_ess * self.n_particles
+
+        def _choose_dbeta(lw, logliks, beta):
+            """Largest dbeta in (0, 1 - beta] with ESS(lw + dbeta*ll)
+            >= ess_goal, by bisection (24 fixed iterations)."""
+            hi0 = 1.0 - beta
+
+            def ess_at(db):
+                w = lw + db * logliks
+                return _ess(w - logsumexp(w))
+
+            def body(_, lo_hi):
+                lo, hi = lo_hi
+                mid = 0.5 * (lo + hi)
+                ok = ess_at(mid) >= ess_goal
+                return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+            # If even the full remaining jump keeps ESS healthy, take it.
+            full_ok = ess_at(hi0) >= ess_goal
+            lo, hi = jax.lax.fori_loop(
+                0, 24, body, (jnp.float32(0.0), jnp.float32(hi0))
+            )
+            return jnp.where(full_ok, hi0, lo)
+
+        def step(carry, step_key):
+            particles, logliks, lw, beta, log_z = carry
+            k_res, k_moves = jax.random.split(step_key)
+
+            dbeta = _choose_dbeta(lw, logliks, beta)
+            beta_next = beta + dbeta
+            incr = dbeta * logliks
+            log_z = log_z + logsumexp(lw + incr)
+            lw = lw + incr
+            lw = lw - logsumexp(lw)
+
+            # Adaptive scheme: the increment was CHOSEN to land at the
+            # target ESS, so resample after every positive increment
+            # (gating on the fixed-ladder threshold would leave the ESS
+            # sitting exactly at target and stall dbeta at zero). Skip
+            # only no-op steps (beta already at 1) or near-full-ESS jumps.
+            do = (dbeta > 0.0) & (
+                _ess(lw) < 0.99 * self.n_particles
+            )
+            anc = systematic_resample(k_res, lw, self.n_particles)
+            res_particles = take_rows(particles, anc, n_rows=self.n_particles)
+            res_logliks = logliks[anc]
+
+            def _sel(a, b):
+                if a is b:
+                    return a
+                return jnp.where(do, a, b)
+
+            particles = jtu.tree_map(_sel, res_particles, particles)
+            logliks = jnp.where(do, res_logliks, logliks)
+            lw = jnp.where(
+                do, jnp.full_like(lw, -jnp.log(float(self.n_particles))), lw
+            )
+
+            if request is not None:
+                for i in range(self.n_moves):
+                    particles, logliks = self._tempered_mh_sweep(
+                        jax.random.fold_in(k_moves, i),
+                        particles,
+                        logliks,
+                        beta_next,
+                        obs_selection,
+                        request,
+                    )
+            return (particles, logliks, lw, beta_next, log_z), beta_next
+
+        lw0 = jnp.full((self.n_particles,), -jnp.log(float(self.n_particles)))
+        (particles, logliks, lw, beta, log_z), betas = jax.lax.scan(
+            step,
+            (trs, logliks, lw0, jnp.float32(0.0), jnp.float32(0.0)),
+            jax.random.split(k_ladder, n_steps),
+        )
+        return ParticleCollection(particles, lw, jnp.array(True)), log_z, betas

@@ -129,3 +129,55 @@ class TestTemperedHard:
         frac_pos = jnp.mean(mus > 0)
         assert 0.25 < frac_pos < 0.75, frac_pos
         assert jnp.abs(jnp.mean(jnp.abs(mus)) - 2.0) < 0.25
+
+
+class TestAdaptiveTempering:
+    def test_adaptive_ladder_reaches_one_and_is_unbiased(self):
+        @g.gen
+        def tight():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 0.3) @ "y"
+
+        target = Target(tight, (), ChoiceMap.kw(y=2.0))
+        var = 1.0 + 0.09
+        exact = -0.5 * 4.0 / var - 0.5 * jnp.log(2 * jnp.pi * var)
+        smc = TemperedSMC(
+            n_particles=1024,
+            betas=jnp.linspace(0, 1, 2),  # ignored by run_adaptive
+            request=Regenerate(Selection.at["mu"]),
+            n_moves=2,
+        )
+        coll, _, betas = jax.jit(
+            lambda k: smc.run_adaptive(k, target, n_steps=16)
+        )(jax.random.key(0))
+        # monotone ladder that saturates at 1
+        assert jnp.all(jnp.diff(betas) >= -1e-6)
+        assert jnp.allclose(betas[-1], 1.0)
+        # evidence unbiased (pooled over runs)
+        keys = jax.random.split(jax.random.key(1), 64)
+        zs = jax.vmap(lambda k: smc.run_adaptive(k, target, n_steps=16)[1])(
+            keys
+        )
+        pooled = logsumexp(zs) - jnp.log(64.0)
+        assert jnp.abs(pooled - exact) < 0.05, (pooled, exact)
+        # posterior mean
+        mus = coll.get_particles().get_choices()["mu"]
+        assert jnp.abs(jnp.mean(mus) - 2.0 / 1.09) < 0.1
+
+    def test_adaptive_takes_fewer_effective_steps(self):
+        @g.gen
+        def tight():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 0.3) @ "y"
+
+        target = Target(tight, (), ChoiceMap.kw(y=2.0))
+        smc = TemperedSMC(
+            n_particles=512,
+            betas=jnp.linspace(0, 1, 2),
+            request=Regenerate(Selection.at["mu"]),
+        )
+        _, _, betas = jax.jit(
+            lambda k: smc.run_adaptive(k, target, n_steps=16)
+        )(jax.random.key(2))
+        effective = jnp.sum(jnp.diff(jnp.concatenate([jnp.zeros(1), betas])) > 1e-6)
+        assert effective <= 6, betas
