@@ -170,10 +170,24 @@ def share_chain_args(traces: Trace[R], args: tuple) -> Trace[R]:
     its own copy — turning one shared-operand matmul into a batched
     matmul over N identical operands. `run_chains` detects the unbatched
     leaves (no leading chain axis) and maps them with `in_axes=None`, so
-    the compiled program reads the single shared copy."""
+    the compiled program reads the single shared copy.
+
+    Shared-vs-batched is distinguished by the leading dimension, so an
+    argument leaf whose OWN leading dimension happens to equal the batch
+    size is ambiguous: such leaves are left in their (correct, merely
+    unoptimized) broadcast form rather than shared."""
     import dataclasses
 
-    return dataclasses.replace(traces, args=args)
+    n = jnp.shape(traces.get_score())[0]
+
+    def pick(shared, batched):
+        ambiguous = (
+            getattr(shared, "ndim", 0) >= 1 and jnp.shape(shared)[0] == n
+        )
+        return batched if ambiguous else shared
+
+    new_args = jtu.tree_map(pick, args, traces.get_args())
+    return dataclasses.replace(traces, args=new_args)
 
 
 def _chain_axes(tree, n_chains: int):

@@ -189,3 +189,60 @@ class TestSharedArgsDrivers:
             )[0]
         )(ws)
         assert jnp.allclose(parts.get_score(), scores, atol=1e-4)
+
+
+class TestAmbiguousLeadingDim:
+    def test_data_length_equal_to_batch_stays_batched(self):
+        """An argument whose own leading dimension equals the chain
+        count is indistinguishable from a batched leaf — sharing must
+        SKIP it (correct broadcast form) and results must match the
+        plain batched layout exactly."""
+        n = 16  # chains == data rows
+        Xn = jax.random.normal(jax.random.key(20), (n, 3))
+        ysn = jnp.zeros(n)
+
+        @g.gen
+        def reg_n(Xa):
+            w = g.mv_normal_diag(jnp.zeros(3), jnp.ones(3)) @ "w"
+            _ = g.normal(Xa @ w, 1.0) @ "ys"
+
+        keys = jax.random.split(jax.random.key(21), n)
+        trs, _ = jax.vmap(
+            lambda k: reg_n.importance(k, ChoiceMap.kw(ys=ysn), (Xn,))
+        )(keys)
+        shared = share_chain_args(trs, (Xn,))
+        # ambiguous leaf kept batched: (n, n, 3)
+        assert shared.get_args()[0].shape == (n, n, 3)
+        req = MALA(Selection.at["w"], jnp.asarray(1e-2))
+        f_b, _ = run_chains(jax.random.key(22), trs, req, 5)
+        f_s, _ = run_chains(jax.random.key(22), shared, req, 5)
+        assert jnp.allclose(
+            f_b.get_choices()["w"], f_s.get_choices()["w"], atol=1e-6
+        )
+
+    def test_importance_k_ambiguous_args(self):
+        """ImportanceK's automatic sharing must stay correct when
+        k_particles equals the dataset length."""
+        from genjax_tpu.inference.smc import ImportanceK
+        from genjax_tpu.inference.sp import Target
+
+        n = 32
+        Xn = jax.random.normal(jax.random.key(23), (n, 2))
+        ysn = jnp.zeros(n)
+
+        @g.gen
+        def reg_n(Xa):
+            w = g.mv_normal_diag(jnp.zeros(2), jnp.ones(2)) @ "w"
+            _ = g.normal(Xa @ w, 1.0) @ "ys"
+
+        target = Target(reg_n, (Xn,), ChoiceMap.kw(ys=ysn))
+        alg = ImportanceK(target, k_particles=n)  # ambiguous on purpose
+        coll = alg.run_smc(jax.random.key(24))
+        parts = coll.get_particles()
+        scores = jax.vmap(
+            lambda w: reg_n.assess(ChoiceMap.kw(w=w, ys=ysn), (Xn,))[0]
+        )(parts.get_choices()["w"])
+        assert jnp.allclose(parts.get_score(), scores, atol=1e-4)
+        # and through re-targeting (random_weighted path)
+        w, latents = alg.random_weighted(jax.random.key(25), target)
+        assert jnp.isfinite(w)
