@@ -111,9 +111,10 @@ def main():
     iter_keys = jax.random.split(key, ITERS)
 
     # Host-sync floor (tunnel round trip per python-level call). Every
-    # diagnostic below subtracts it; the headline must too — at ITERS=20
-    # in-jit sweeps per call, an unsubtracted ~25 ms floor inflates the
-    # per-sweep time by >1 ms (more than the sweep itself).
+    # diagnostic below subtracts it; the headline must too — an
+    # unsubtracted ~25 ms floor spread over the in-jit sweeps inflates a
+    # ~0.6 ms sweep by ~25/ITERS ms (at the former ITERS=20 that was two
+    # thirds of the measurement; at ITERS=50 the residual noise is <2%).
     @jax.jit
     def _tiny_sir(x):
         return jnp.sum(x)

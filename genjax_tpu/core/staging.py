@@ -122,6 +122,28 @@ def tree_choose(idx: ArrayLike, pytrees: Sequence[R]) -> R:
     return jtu.tree_map(inner, *pytrees)
 
 
+def where_tree(flag: ArrayLike, on_true: R, on_false: R) -> R:
+    """Leaf-wise `jnp.where(flag, a, b)` over two same-structure pytrees,
+    skipping leaves that are the SAME tracer on both sides.
+
+    The identity shortcut is what makes dense accept/reject selects cheap
+    on batched traces: leaves an edit passed through untouched (shared
+    model args, unedited subtraces) generate no select and no copy.
+
+    >>> import jax.numpy as jnp
+    >>> from genjax_tpu.core.staging import where_tree
+    >>> shared = jnp.arange(3.0)
+    >>> out = where_tree(True, {"a": 1.0, "s": shared}, {"a": 2.0, "s": shared})
+    >>> (float(out["a"]), out["s"] is shared)
+    (1.0, True)
+    """
+    return jtu.tree_map(
+        lambda a, b: a if a is b else jnp.where(flag, a, b),
+        on_true,
+        on_false,
+    )
+
+
 def to_shape_fn(
     callable: F,
     fill_fn: Callable[..., Any] | None = None,

@@ -78,14 +78,13 @@ def mh(
     )
     alpha = _log_accept_ratio(k_move, trace, proposed, request, w)
     accept = jnp.log(jax.random.uniform(k_accept)) < alpha
-    # Identity-aware select: leaves the edit passed through untouched
-    # (model args, unedited subtrace values) are the SAME tracer on both
-    # sides — selecting them would materialize a copy of the whole trace
-    # per step (hundreds of MB at 8k chains).
-    new_trace = jtu.tree_map(
-        lambda a, b: a if a is b else jnp.where(accept, a, b), proposed, trace
-    )
-    return new_trace, accept
+    # Identity-aware select (core.staging.where_tree): leaves the edit
+    # passed through untouched (model args, unedited subtrace values) are
+    # the SAME tracer on both sides — selecting them would materialize a
+    # copy of the whole trace per step (hundreds of MB at 8k chains).
+    from genjax_tpu.core.staging import where_tree
+
+    return where_tree(accept, proposed, trace), accept
 
 
 def mh_chain(

@@ -231,7 +231,9 @@ class ParticleCollection(Generic[R], Pytree):
         return ess(self.log_weights)
 
     def __getitem__(self, idx):
-        return jtu.tree_map(lambda v: v[idx], (self.particles, self.log_weights))
+        # Via get_particle: shared arg leaves (no leading particle axis)
+        # belong to every particle and must not be data-indexed.
+        return (self.get_particle(idx), self.log_weights[idx])
 
     def sample_particle(self, key: PRNGKey) -> Trace[R]:
         logits = self.log_weights - logsumexp(self.log_weights)

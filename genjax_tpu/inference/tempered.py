@@ -29,6 +29,7 @@ from genjax_tpu.core.concepts import EditRequest
 from genjax_tpu.core.diff import Diff
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.requests import Regenerate
+from genjax_tpu.core.staging import where_tree
 from genjax_tpu.core.typing import FloatArray, PRNGKey
 from genjax_tpu.inference.mcmc import _chain_axes
 from genjax_tpu.inference.smc import (
@@ -121,11 +122,7 @@ class TemperedSMC(Generic[R], Pytree):
             else:
                 alpha = (w - delta_ll) + beta * delta_ll
             accept = jnp.log(jax.random.uniform(k_acc)) < alpha
-            new_particle = jtu.tree_map(
-                lambda a, b: a if a is b else jnp.where(accept, a, b),
-                proposed,
-                particle,
-            )
+            new_particle = where_tree(accept, proposed, particle)
             return new_particle, jnp.where(accept, new_loglik, loglik)
 
         axes = _chain_axes(particles, self.n_particles)
@@ -177,12 +174,7 @@ class TemperedSMC(Generic[R], Pytree):
             res_particles = take_rows(particles, anc, n_rows=self.n_particles)
             res_logliks = logliks[anc]
 
-            def _sel(a, b):
-                if a is b:
-                    return a
-                return jnp.where(do, a, b)
-
-            particles = jtu.tree_map(_sel, res_particles, particles)
+            particles = where_tree(do, res_particles, particles)
             logliks = jnp.where(do, res_logliks, logliks)
             lw = jnp.where(do, jnp.full_like(lw, -jnp.log(float(self.n_particles))), lw)
 
@@ -267,11 +259,18 @@ class TemperedSMC(Generic[R], Pytree):
             )
             return jnp.where(full_ok, hi0, lo)
 
-        def step(carry, step_key):
+        def step(carry, scanned):
+            step_key, is_last = scanned
             particles, logliks, lw, beta, log_z = carry
             k_res, k_moves = jax.random.split(step_key)
 
             dbeta = _choose_dbeta(lw, logliks, beta)
+            # The final budgeted step must land on beta = 1 regardless of
+            # the ESS target: otherwise the scan could exhaust n_steps at
+            # beta < 1 and silently return a still-tempered population
+            # (the forced jump keeps the estimator unbiased — it only
+            # trades variance).
+            dbeta = jnp.where(is_last, 1.0 - beta, dbeta)
             beta_next = beta + dbeta
             incr = dbeta * logliks
             log_z = log_z + logsumexp(lw + incr)
@@ -290,12 +289,7 @@ class TemperedSMC(Generic[R], Pytree):
             res_particles = take_rows(particles, anc, n_rows=self.n_particles)
             res_logliks = logliks[anc]
 
-            def _sel(a, b):
-                if a is b:
-                    return a
-                return jnp.where(do, a, b)
-
-            particles = jtu.tree_map(_sel, res_particles, particles)
+            particles = where_tree(do, res_particles, particles)
             logliks = jnp.where(do, res_logliks, logliks)
             lw = jnp.where(
                 do, jnp.full_like(lw, -jnp.log(float(self.n_particles))), lw
@@ -314,9 +308,10 @@ class TemperedSMC(Generic[R], Pytree):
             return (particles, logliks, lw, beta_next, log_z), beta_next
 
         lw0 = jnp.full((self.n_particles,), -jnp.log(float(self.n_particles)))
+        is_last = jnp.arange(n_steps) == (n_steps - 1)
         (particles, logliks, lw, beta, log_z), betas = jax.lax.scan(
             step,
             (trs, logliks, lw0, jnp.float32(0.0), jnp.float32(0.0)),
-            jax.random.split(k_ladder, n_steps),
+            (jax.random.split(k_ladder, n_steps), is_last),
         )
         return ParticleCollection(particles, lw, jnp.array(True)), log_z, betas

@@ -42,13 +42,19 @@ def sharded_mh_chains(
     keys = jax.random.split(key, n_chains)
 
     # Leaves carrying the leading chain axis shard over it; shared leaves
-    # (e.g. model args after `mcmc.share_chain_args`) replicate.
+    # (e.g. model args after `mcmc.share_chain_args`) replicate — and the
+    # per-shard vmap must treat them as broadcast too (matching per-leaf
+    # axes, as in `mcmc.run_chains`).
+    def _is_chain_leaf(v) -> bool:
+        return jnp.ndim(v) >= 1 and jnp.shape(v)[0] == n_chains
+
     trace_specs = jtu.tree_map(
         lambda v: P(axis, *([None] * (jnp.ndim(v) - 1)))
-        if jnp.ndim(v) >= 1 and jnp.shape(v)[0] == n_chains
+        if _is_chain_leaf(v)
         else P(),
         traces,
     )
+    vmap_axes = jtu.tree_map(lambda v: 0 if _is_chain_leaf(v) else None, traces)
 
     @partial(
         shard_map,
@@ -59,7 +65,9 @@ def sharded_mh_chains(
     )
     def _run(keys, traces):
         return jax.vmap(
-            lambda k, tr: mh_chain(k, tr, request, n_steps, collect)
+            lambda k, tr: mh_chain(k, tr, request, n_steps, collect),
+            in_axes=(0, vmap_axes),
+            out_axes=(vmap_axes, 0),
         )(keys, traces)
 
     return _run(keys, traces)

@@ -104,15 +104,25 @@ class GridSMC(Generic[R], Pytree):
     # -- lifecycle ---------------------------------------------------------
 
     def init(self, key: PRNGKey, target: Target[R]) -> ParticleCollection[R]:
-        from genjax_tpu.inference.mcmc import share_chain_args
+        import dataclasses
 
         keys = self._grid_keys(key)
         trs, ws = jax.vmap(
             jax.vmap(target.importance, in_axes=(0, None)), in_axes=(0, None)
         )(keys, ChoiceMap.empty())
         # One shared copy of the target's arguments across the grid (see
-        # mcmc.share_chain_args / ARCHITECTURE.md 4b).
-        trs = share_chain_args(trs, target.args)
+        # mcmc.share_chain_args / ARCHITECTURE.md 4b). A shared leaf whose
+        # own leading dimension collides with EITHER grid axis (chain
+        # count or particle count) is ambiguous under the per-leaf-axes
+        # heuristics at both vmap levels — keep its broadcast form.
+        def pick(shared, batched):
+            dim0 = jnp.shape(shared)[0] if getattr(shared, "ndim", 0) >= 1 else None
+            if dim0 in (self.n_chains, self.n_particles):
+                return batched
+            return shared
+
+        new_args = jtu.tree_map(pick, target.args, trs.get_args())
+        trs = dataclasses.replace(trs, args=new_args)
         return ParticleCollection(
             self._constrain(trs), self._constrain(ws), jnp.array(True)
         )

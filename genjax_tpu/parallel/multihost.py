@@ -44,16 +44,23 @@ def initialize_multihost(
     False when running single-process (in which case this is a no-op —
     every `parallel/` API works unchanged on the local mesh).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized (e.g. by the launcher)
     if coordinator_address is None and num_processes is None:
-        # Nothing requested and nothing auto-detectable: single process.
-        return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        # Nothing requested explicitly: report whether a launcher already
+        # set the distributed runtime up. (Safe to query the backend here
+        # — there is nothing left for this call to initialize.)
+        return jax.process_count() > 1
+    # Explicit setup: jax.distributed.initialize MUST run before anything
+    # touches the XLA backend, so no backend query may precede it.
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return True  # launcher beat us to it
+        raise
     return True
 
 
@@ -181,10 +188,22 @@ def global_from_process_local(tree, mesh: Mesh, spec: P):
 
 def process_local_rows(arr) -> np.ndarray:
     """The rows of a sharded leading-axis array owned by this process,
-    gathered to host memory (for per-host checkpointing or logging)."""
-    shards = [
-        (s.index[0].start or 0, np.asarray(s.data))
-        for s in arr.addressable_shards
-    ]
+    gathered to host memory (for per-host checkpointing or logging).
+
+    Replicated copies are deduplicated by shard index: an array sharded
+    over one mesh axis but replicated over another (e.g. per-island
+    statistics on a hybrid mesh) contributes each distinct row range
+    exactly once."""
+    seen: set = set()
+    shards = []
+    for s in arr.addressable_shards:
+        key = tuple(
+            (sl.start, sl.stop, sl.step) for sl in s.index
+        ) if s.index else ()
+        if key in seen:
+            continue
+        seen.add(key)
+        start = s.index[0].start or 0 if s.index else 0
+        shards.append((start, np.asarray(s.data)))
     shards.sort(key=lambda t: t[0])
     return np.concatenate([d for _, d in shards], axis=0)

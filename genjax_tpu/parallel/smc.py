@@ -216,11 +216,9 @@ class ShardedSMC(Generic[R], Pytree):
         resampled = self.resample(key, collection)
         # Identity-aware select: leaves resampling passed through (shared
         # model args under the `share_chain_args` layout) skip the where.
-        return jtu.tree_map(
-            lambda a, b: a if a is b else jnp.where(do, a, b),
-            resampled,
-            collection,
-        )
+        from genjax_tpu.core.staging import where_tree
+
+        return where_tree(do, resampled, collection)
 
     def rejuvenate(
         self, key: PRNGKey, collection: ParticleCollection[R], request

@@ -246,3 +246,22 @@ class TestAmbiguousLeadingDim:
         # and through re-targeting (random_weighted path)
         w, latents = alg.random_weighted(jax.random.key(25), target)
         assert jnp.isfinite(w)
+
+
+class TestCollectionIndexing:
+    def test_getitem_preserves_shared_args(self):
+        """coll[i] must not data-index shared argument leaves
+        (code-review finding)."""
+        keys = jax.random.split(jax.random.key(26), N)
+        trs, ws = jax.vmap(
+            lambda k: regression.importance(k, ChoiceMap.kw(ys=YS), (X,))
+        )(keys)
+        trs = share_chain_args(trs, (X,))
+        coll = ParticleCollection(trs, ws, jnp.array(True))
+        particle, w3 = coll[3]
+        assert particle.get_args()[0].shape == (32, 3)
+        assert jnp.allclose(w3, ws[3])
+        sc, _ = regression.assess(
+            ChoiceMap.kw(w=particle.get_choices()["w"], ys=YS), (X,)
+        )
+        assert jnp.allclose(particle.get_score(), sc, atol=1e-5)

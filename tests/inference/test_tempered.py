@@ -181,3 +181,26 @@ class TestAdaptiveTempering:
         )(jax.random.key(2))
         effective = jnp.sum(jnp.diff(jnp.concatenate([jnp.zeros(1), betas])) > 1e-6)
         assert effective <= 6, betas
+
+
+class TestAdaptiveForcedCompletion:
+    def test_small_budget_still_reaches_one(self):
+        """With a step budget too small for the ESS schedule, the final
+        step force-jumps to beta = 1 (code-review finding: pre-fix the
+        scan could return a still-tempered population silently)."""
+
+        @g.gen
+        def very_tight():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 0.05) @ "y"
+
+        target = Target(very_tight, (), ChoiceMap.kw(y=2.5))
+        smc = TemperedSMC(
+            n_particles=256,
+            betas=jnp.linspace(0, 1, 2),
+            request=Regenerate(Selection.at["mu"]),
+        )
+        _, _, betas = jax.jit(
+            lambda k: smc.run_adaptive(k, target, n_steps=3)
+        )(jax.random.key(0))
+        assert jnp.allclose(betas[-1], 1.0), betas

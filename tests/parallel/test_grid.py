@@ -202,3 +202,35 @@ class TestGridSharedArgs:
             )
         )(ws)
         assert jnp.allclose(parts.get_score(), scores, atol=1e-4)
+
+
+class TestGridAmbiguousArgs:
+    def test_data_rows_equal_particle_count(self):
+        """A design matrix with exactly n_particles rows must stay in
+        broadcast form (code-review finding: pre-fix, resample gathered
+        its data rows and crashed under out_axes=None)."""
+        import genjax_tpu as g
+
+        n_part = 16
+
+        @g.gen
+        def reg(X):
+            w = g.mv_normal_diag(jnp.zeros(3), jnp.ones(3)) @ "w"
+            _ = g.normal(X @ w, 1.0) @ "ys"
+
+        X = jax.random.normal(jax.random.key(40), (n_part, 3))
+        tgt = Target(reg, (X,), ChoiceMap.kw(ys=jnp.zeros(n_part)))
+        smc = GridSMC(n_chains=4, n_particles=n_part, mesh=grid_mesh(2, 4))
+        coll = jax.jit(smc.init)(jax.random.key(41), tgt)
+        # ambiguous leaf kept broadcast: (C, K, n_part, 3)
+        assert coll.get_particles().get_args()[0].shape == (4, n_part, n_part, 3)
+        out = jax.jit(smc.resample)(jax.random.key(42), coll)
+        parts = out.get_particles()
+        scores = jax.vmap(
+            jax.vmap(
+                lambda w: reg.assess(
+                    ChoiceMap.kw(w=w, ys=jnp.zeros(n_part)), (X,)
+                )[0]
+            )
+        )(parts.get_choices()["w"])
+        assert jnp.allclose(parts.get_score(), scores, atol=1e-4)

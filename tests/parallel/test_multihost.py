@@ -103,3 +103,55 @@ class TestStateAssembly:
         back = process_local_rows(arr)
         assert isinstance(back, np.ndarray)
         assert np.array_equal(back, np.asarray(rows))
+
+
+class TestReviewRegressions:
+    def test_process_local_rows_dedups_replicated_axis(self):
+        """A per-island array replicated over the particle axis must
+        contribute each row range exactly once (code-review finding:
+        pre-fix, it was duplicated once per replica shard)."""
+        mesh = hybrid_mesh(island_devices=2, particle_devices=4)
+        x = jax.device_put(
+            jnp.arange(8.0), NamedSharding(mesh, P("islands"))
+        )
+        out = process_local_rows(x)
+        assert out.shape == (8,)
+        assert np.array_equal(out, np.arange(8.0))
+
+    def test_sharded_mh_chains_with_shared_args(self):
+        """sharded_mh_chains on the share_chain_args layout (code-review
+        finding: the inner vmap used in_axes=0 and crashed)."""
+        import genjax_tpu as g
+        from genjax_tpu.inference.mcmc import share_chain_args
+        from genjax_tpu.inference.requests import MALA
+        from genjax_tpu.parallel import particle_mesh, sharded_mh_chains
+
+        @g.gen
+        def reg(X):
+            w = g.mv_normal_diag(jnp.zeros(3), jnp.ones(3)) @ "w"
+            _ = g.normal(X @ w, 1.0) @ "ys"
+
+        X = jax.random.normal(jax.random.key(30), (32, 3))
+        keys = jax.random.split(jax.random.key(31), 64)
+        trs, _ = jax.vmap(
+            lambda k: reg.importance(k, ChoiceMap.kw(ys=jnp.zeros(32)), (X,))
+        )(keys)
+        trs = share_chain_args(trs, (X,))
+        mesh = particle_mesh(8, axis_name="chains")
+        finals, accs = sharded_mh_chains(
+            jax.random.key(32),
+            trs,
+            MALA(g.Selection.at["w"], jnp.asarray(1e-2)),
+            5,
+            mesh,
+            "chains",
+        )
+        assert finals.get_args()[0].shape == (32, 3)
+        assert accs.shape == (64, 5)
+        ws = finals.get_choices()["w"]
+        scores = jax.vmap(
+            lambda w: reg.assess(
+                ChoiceMap.kw(w=w, ys=jnp.zeros(32)), (X,)
+            )[0]
+        )(ws)
+        assert jnp.allclose(finals.get_score(), scores, atol=1e-4)
