@@ -1,0 +1,114 @@
+"""Cookbook: extending the framework (for library authors).
+
+Mirrors the reference cookbook's
+inactive/library_author/dimap_combinator.ipynb: how new combinators and
+generative-function types are built from the pieces the framework
+exposes — `dimap` for argument/return plumbing, `exact_density` for new
+distributions, and a full `GenerativeFunction` subclass when you need
+custom GFI semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+
+import genjax_tpu as genjax
+from genjax_tpu import ChoiceMap, gen, normal
+from genjax_tpu.core.gfi import GenerativeFunction, Trace
+from genjax_tpu.core.pytree import Pytree
+
+
+def main():
+    key = jax.random.key(0)
+
+    # --- combinators from dimap ---------------------------------------------
+    # Most "new combinators" are argument/return transformations around an
+    # inner generative function. `standardize`: run a model on z-scored
+    # inputs, return de-standardized outputs.
+    def standardized(gen_fn, mean, std):
+        return gen_fn.dimap(
+            pre=lambda x: ((x - mean) / std,),
+            post=lambda _args, _xformed, retval: retval * std + mean,
+        )
+
+    @gen
+    def unit_model(x):
+        return normal(x, 0.1) @ "v"
+
+    scaled = standardized(unit_model, mean=100.0, std=10.0)
+    tr = scaled.simulate(key, (105.0,))
+    # The inner model saw 0.5; the retval is rescaled back.
+    assert abs(float(tr.get_retval()) - 105.0) < 5.0
+    # Full GFI comes for free — including incremental edits (argdiffs
+    # propagate through the mappings):
+    new_tr, w, _, _ = tr.update(
+        key, ChoiceMap.kw(v=0.5), (genjax.Diff.no_change(105.0),)
+    )
+    assert jnp.allclose(new_tr.get_choices()["v"], 0.5)
+
+    # --- a custom GenerativeFunction type -----------------------------------
+    # When semantics (not just plumbing) are new, subclass
+    # GenerativeFunction. A `Deterministic` node: no randomness, no
+    # choices, score 0 — useful for wrapping fixed transformations into
+    # model pipelines.
+    @Pytree.dataclass
+    class DeterministicTrace(Trace):
+        gen_fn: GenerativeFunction = Pytree.field()
+        args: tuple = Pytree.field()
+        retval: jnp.ndarray = Pytree.field()
+
+        def get_args(self):
+            return self.args
+
+        def get_retval(self):
+            return self.retval
+
+        def get_score(self):
+            return jnp.asarray(0.0)
+
+        def get_choices(self):
+            return ChoiceMap.empty()
+
+        def get_gen_fn(self):
+            return self.gen_fn
+
+    @Pytree.dataclass
+    class Deterministic(GenerativeFunction):
+        fn: object = Pytree.static()
+
+        def simulate(self, key, args):
+            return DeterministicTrace(self, args, self.fn(*args))
+
+        def assess(self, choices, args):
+            return jnp.asarray(0.0), self.fn(*args)
+
+        def generate(self, key, constraint, args):
+            return self.simulate(key, args), jnp.asarray(0.0)
+
+    double = Deterministic(lambda x: 2.0 * x)
+
+    @gen
+    def pipeline():
+        base = normal(0.0, 1.0) @ "base"
+        return double(base) @ "doubled"
+
+    tr = pipeline.simulate(key, ())
+    assert jnp.allclose(tr.get_retval(), 2.0 * tr.get_choices()["base"])
+    # score contribution of the deterministic node is zero: the trace's
+    # joint score is just the base normal's density. (Note `assess`
+    # intentionally raises MissingAddress for addresses absent from the
+    # constraint — reference parity — so a choice-free node is scored
+    # through simulate/generate, not assess.)
+    b = tr.get_choices()["base"]
+    expected = -0.5 * b**2 - 0.5 * jnp.log(2 * jnp.pi)
+    assert jnp.allclose(tr.get_score(), expected, atol=1e-6)
+
+    # --- new distributions ---------------------------------------------------
+    # (See cookbook 11 for exact_density; the factory covers most needs.
+    # For *estimated* densities — marginals, algorithms — implement the
+    # stochastic probability interface instead: cookbook 12.)
+
+    print("library-author cookbook: all checks passed")
+
+
+if __name__ == "__main__":
+    main()
