@@ -2,7 +2,12 @@
 
 from genjax_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from genjax_tpu.utils.pretty import pretty
-from genjax_tpu.utils.profiling import annotate, profile_trace
+from genjax_tpu.utils.profiling import (
+    annotate,
+    cost_summary,
+    device_memory_stats,
+    profile_trace,
+)
 from genjax_tpu.utils.time_travel import (
     TimeTravelingDebugger,
     rec,
@@ -13,6 +18,8 @@ from genjax_tpu.utils.time_travel import (
 __all__ = [
     "TimeTravelingDebugger",
     "annotate",
+    "cost_summary",
+    "device_memory_stats",
     "pretty",
     "profile_trace",
     "rec",

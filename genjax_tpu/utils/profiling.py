@@ -37,3 +37,41 @@ def profile_trace(log_dir: str = "/tmp/genjax_tpu_profile"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+def device_memory_stats(device=None) -> dict:
+    """Live device memory counters (bytes) for capacity planning of
+    particle/chain state: `bytes_in_use`, `peak_bytes_in_use`,
+    `bytes_limit` where the backend reports them ({} where it doesn't,
+    e.g. the CPU backend)."""
+    device = device or jax.devices()[0]
+    stats = device.memory_stats()
+    return dict(stats) if stats else {}
+
+
+def cost_summary(fn, *args, **kwargs) -> dict:
+    """XLA cost analysis of `fn(*args)` as compiled: flops, bytes
+    accessed, transcendentals. The framework's own performance work is
+    driven by exactly this counter set (e.g. the shared-args layout was
+    found via a 150 MB-vs-4 MB `bytes accessed` gap at identical flops
+    — see ARCHITECTURE.md 4b).
+
+    >>> import jax.numpy as jnp
+    >>> from genjax_tpu.utils.profiling import cost_summary
+    >>> s = cost_summary(lambda x: (x @ x.T).sum(), jnp.ones((64, 64)))
+    >>> s["flops"] >= 2 * 64 * 64 * 64
+    True
+    """
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    analysis = compiled.cost_analysis() or {}
+    out = {
+        k: float(analysis[k])
+        for k in ("flops", "bytes accessed", "transcendentals")
+        if k in analysis
+    }
+    out["memory_bytes"] = float(
+        compiled.memory_analysis().temp_size_in_bytes
+        if compiled.memory_analysis() is not None
+        else 0.0
+    )
+    return out

@@ -89,3 +89,39 @@ class TestProfiling:
         for root, _dirs, files in os.walk(d):
             produced.extend(files)
         assert produced, "profiler trace produced no files"
+
+
+class TestCostSummary:
+    def test_cost_counters_present(self):
+        import jax.numpy as jnp
+
+        from genjax_tpu.utils.profiling import cost_summary
+
+        s = cost_summary(lambda x: (x @ x.T).sum(), jnp.ones((64, 64)))
+        assert s["flops"] >= 2 * 64 * 64 * 64
+        assert s.get("bytes accessed", 0) > 0
+
+    def test_cost_summary_on_gfi_method(self):
+        import jax
+        import jax.numpy as jnp
+
+        import genjax_tpu as g
+
+        @g.gen
+        def model(X):
+            w = g.mv_normal_diag(jnp.zeros(4), jnp.ones(4)) @ "w"
+            _ = g.normal(X @ w, 1.0) @ "ys"
+
+        from genjax_tpu.utils.profiling import cost_summary
+
+        X = jnp.ones((16, 4))
+        s = cost_summary(
+            lambda k: model.simulate(k, (X,)).get_score(), jax.random.key(0)
+        )
+        assert s["flops"] > 0
+
+    def test_device_memory_stats_shape(self):
+        from genjax_tpu.utils.profiling import device_memory_stats
+
+        stats = device_memory_stats()
+        assert isinstance(stats, dict)  # may be empty on the CPU backend
