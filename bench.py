@@ -149,7 +149,11 @@ def main():
         import genjax_tpu as g
         from genjax_tpu import ChoiceMap
 
-        D, KD, NN = 32, 1_000_000, 200
+        # NN in-jit passes per timed call: the signal must dwarf the
+        # ~25-30 ms tunnel floor being subtracted (at NN=200 the whole
+        # call was ~34 ms and one slow floor sample could swallow it,
+        # yielding nonsense GB/s).
+        D, KD, NN = 32, 1_000_000, 1000
         ws = jax.random.normal(jax.random.key(9), (KD, D))
         scales = jnp.ones(NN)
 
@@ -401,6 +405,64 @@ def main():
         log(
             f"HMC 8192 chains x 10 steps (N=256, D=16, L=5): "
             f"{t_hmc*1e3:.2f} ms = {steps_per_s/1e6:.2f}M chain-steps/s"
+        )
+
+        # Hand-written comparator: the identical leapfrog/accept math in
+        # raw JAX on the same density (the framework's honest ceiling).
+        eps_h, L_h, S_h, C_h = 0.02, 5, 10, 8192
+
+        def logdensity(w):
+            logits = X @ w
+            return (
+                jnp.sum(
+                    yo * jax.nn.log_sigmoid(logits)
+                    + (1 - yo) * jax.nn.log_sigmoid(-logits)
+                )
+                - 0.5 * jnp.sum(w * w)
+            )
+
+        vg = jax.value_and_grad(logdensity)
+
+        def hmc_step(carry, key):
+            (w,) = carry
+            k_mom, k_acc = jax.random.split(key)
+            p0 = jax.random.normal(k_mom, w.shape)
+
+            def leap(c, _):
+                wi, pi, gi = c
+                pi = pi + 0.5 * eps_h * gi
+                wi = wi + eps_h * pi
+                _, gi2 = vg(wi)
+                pi = pi + 0.5 * eps_h * gi2
+                return (wi, pi, gi2), None
+
+            lp0, g0 = vg(w)
+            (w1, p1, _), _ = jax.lax.scan(leap, (w, p0, g0), None, length=L_h)
+            lp1, _ = vg(w1)
+            alpha = lp1 - lp0 - 0.5 * jnp.sum(p1 * p1) + 0.5 * jnp.sum(p0 * p0)
+            accept = jnp.log(jax.random.uniform(k_acc)) < alpha
+            return (jnp.where(accept, w1, w),), accept
+
+        def hw_chain(key, w0):
+            (w,), _ = jax.lax.scan(
+                hmc_step, (w0,), jax.random.split(key, S_h)
+            )
+            return w
+
+        @jax.jit
+        def hw_hmc_batch(keys):
+            def one(k):
+                k_i, k_r = jax.random.split(k)
+                w0 = 0.1 * jax.random.normal(k_i, (C_h, 16))
+                ws = jax.vmap(hw_chain)(jax.random.split(k_r, C_h), w0)
+                return jnp.mean(ws)
+
+            return jax.lax.scan(lambda c, k: (c, one(k)), None, keys)[1]
+
+        t_hwh = max(timeit(hw_hmc_batch, hk, iters=3) - t_floor, 1e-9) / reps_h
+        log(
+            f"handwritten HMC same config: {t_hwh*1e3:.2f} ms "
+            f"(framework = {t_hwh/t_hmc:.2f}x of hand-written)"
         )
     except Exception as e:  # pragma: no cover
         log("HMC diagnostic failed:", e)
