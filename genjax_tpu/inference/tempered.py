@@ -217,6 +217,23 @@ class TemperedSMC(Generic[R], Pytree):
         This is the standard adaptive-tempering scheme (e.g. Jasra et
         al. 2011): the ladder density adapts to where the likelihood
         actually bends, typically halving the steps a fixed ladder needs.
+
+        >>> import jax, jax.numpy as jnp
+        >>> import genjax_tpu as gx
+        >>> from genjax_tpu.inference import Target
+        >>> from genjax_tpu.inference.tempered import TemperedSMC
+        >>> @gx.gen
+        ... def model():
+        ...     mu = gx.normal(0.0, 1.0) @ "mu"
+        ...     _ = gx.normal(mu, 0.5) @ "y"
+        >>> target = Target(model, (), gx.ChoiceMap.kw(y=1.5))
+        >>> smc = TemperedSMC(
+        ...     n_particles=256, betas=jnp.zeros(2),  # betas unused here
+        ...     request=gx.Regenerate(gx.Selection.at["mu"]),
+        ... )
+        >>> _, log_z, betas = smc.run_adaptive(jax.random.key(0), target, n_steps=8)
+        >>> bool(jnp.allclose(betas[-1], 1.0)), bool(jnp.isfinite(log_z))
+        (True, True)
         """
         from genjax_tpu.core.gather import take_rows
         from genjax_tpu.inference.mcmc import share_chain_args
