@@ -383,6 +383,8 @@ def main():
 
         X, yo, _ = simulate_logreg_data(jax.random.key(3), 256, 16)
         reps_h = 5
+        # ONE config for both sides of the parity ratio.
+        eps_h, L_h, S_h, C_h = 0.02, 5, 10, 8192
 
         @jax.jit
         def hmc_batch(keys):
@@ -391,7 +393,7 @@ def main():
                     c,
                     jnp.mean(
                         run_hmc_chains(
-                            k, X, yo, n_chains=8192, n_steps=10, eps=0.02, L=5
+                            k, X, yo, n_chains=C_h, n_steps=S_h, eps=eps_h, L=L_h
                         )[0]
                     ),
                 ),
@@ -401,15 +403,14 @@ def main():
 
         hk = jax.random.split(jax.random.key(4), reps_h)
         t_hmc = max(timeit(hmc_batch, hk, iters=3) - t_floor, 1e-9) / reps_h
-        steps_per_s = 8192 * 10 / t_hmc
+        steps_per_s = C_h * S_h / t_hmc
         log(
-            f"HMC 8192 chains x 10 steps (N=256, D=16, L=5): "
+            f"HMC {C_h} chains x {S_h} steps (N=256, D=16, L={L_h}): "
             f"{t_hmc*1e3:.2f} ms = {steps_per_s/1e6:.2f}M chain-steps/s"
         )
 
         # Hand-written comparator: the identical leapfrog/accept math in
         # raw JAX on the same density (the framework's honest ceiling).
-        eps_h, L_h, S_h, C_h = 0.02, 5, 10, 8192
 
         def logdensity(w):
             logits = X @ w
@@ -438,7 +439,9 @@ def main():
 
             lp0, g0 = vg(w)
             (w1, p1, _), _ = jax.lax.scan(leap, (w, p0, g0), None, length=L_h)
-            lp1, _ = vg(w1)
+            # forward-only final density (a tight hand-written HMC needs no
+            # gradient here; don't rely on XLA DCE-ing an unused backward)
+            lp1 = logdensity(w1)
             alpha = lp1 - lp0 - 0.5 * jnp.sum(p1 * p1) + 0.5 * jnp.sum(p0 * p0)
             accept = jnp.log(jax.random.uniform(k_acc)) < alpha
             return (jnp.where(accept, w1, w),), accept

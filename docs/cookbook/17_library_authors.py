@@ -84,6 +84,23 @@ def main():
         def generate(self, key, constraint, args):
             return self.simulate(key, args), jnp.asarray(0.0)
 
+        def edit(self, key, trace, request, argdiffs):
+            # No choices, score 0: every edit re-runs the function on the
+            # new primal arguments with zero weight. Implementing `edit`
+            # is what lets the node live inside models driven by
+            # update/Regenerate/MCMC (without it, those paths raise
+            # NotImplementedError).
+            from genjax_tpu import Diff
+
+            primals = Diff.tree_primal(argdiffs)
+            new_trace = self.simulate(key, primals)
+            return (
+                new_trace,
+                jnp.asarray(0.0),
+                Diff.unknown_change(new_trace.get_retval()),
+                request,
+            )
+
     double = Deterministic(lambda x: 2.0 * x)
 
     @gen
@@ -101,6 +118,17 @@ def main():
     b = tr.get_choices()["base"]
     expected = -0.5 * b**2 - 0.5 * jnp.log(2 * jnp.pi)
     assert jnp.allclose(tr.get_score(), expected, atol=1e-6)
+
+    # Because Deterministic implements `edit`, the pipeline works under
+    # MCMC: regenerate the base choice, the doubled value follows.
+    from genjax_tpu import Regenerate, Selection
+
+    new_tr, w, _, _ = Regenerate(Selection.at["base"]).edit(
+        key, tr, genjax.Diff.no_change(())
+    )
+    assert jnp.allclose(
+        new_tr.get_retval(), 2.0 * new_tr.get_choices()["base"]
+    )
 
     # --- new distributions ---------------------------------------------------
     # (See cookbook 11 for exact_density; the factory covers most needs.
