@@ -128,16 +128,21 @@ def main():
     log(f"framework SIR @1M:   {t_fw*1e3:.2f} ms/iter = {pps_fw/1e6:.1f}M particles/s")
     log(f"handwritten SIR @1M: {t_hw*1e3:.2f} ms/iter = {pps_hw/1e6:.1f}M particles/s")
     # Transparency split: hand-written WITH the framework's specialized
-    # sampler isolates pure GFI overhead from sampler quality.
+    # sampler isolates pure GFI overhead from sampler quality. Both factors
+    # are carried into the stdout JSON so the headline `vs_baseline`
+    # (their product) cannot be misread as framework overhead.
+    gfi_overhead = sampler_speedup = None
     try:
         from genjax_tpu.distributions.library import _beta_sample
 
         hw_fast = handwritten_sir(lambda kk: _beta_sample(kk, 2.0, 2.0))
         t_hwf = max(timeit(hw_fast, iter_keys, iters=3) - t_floor_sir, 1e-9) / ITERS
+        gfi_overhead = t_fw / t_hwf
+        sampler_speedup = t_hw / t_hwf
         log(
             f"handwritten + framework sampler: {t_hwf*1e3:.2f} ms/iter "
-            f"(GFI overhead = {t_fw/t_hwf:.3f}x; sampler speedup = "
-            f"{t_hw/t_hwf:.1f}x)"
+            f"(GFI overhead = {gfi_overhead:.3f}x; sampler speedup = "
+            f"{sampler_speedup:.1f}x)"
         )
     except Exception as e:  # pragma: no cover
         log("sampler-split diagnostic failed:", e)
@@ -220,17 +225,26 @@ def main():
         # roof upper-bounds a read-only pass, so the fraction is <= 1 up
         # to timing noise.
         den_gbs = KD * D * 4 / t_den / 1e9
-        roof_gbs = flat.size * 4 / t_cpy / 1e9
-        # Any demonstrated bandwidth lower-bounds the achievable roof, so
-        # the denominator is the max of the two demonstrated numbers —
-        # the fraction is <= 1 by construction even when the density pass
-        # itself sets the best observed bandwidth (it runs at roof).
-        roof_gbs = max(roof_gbs, den_gbs)
+        probe_gbs = flat.size * 4 / t_cpy / 1e9
+        # Both numbers are reported UNCLAMPED and the fraction is taken
+        # against the independent read probe, so a byte-accounting mistake
+        # in the density pass's traffic model shows up as a fraction > 1
+        # instead of being absorbed into a constructed denominator
+        # (round-2 verdict/advisor finding). A fraction slightly above 1
+        # just means the density pass demonstrated more bandwidth than the
+        # probe did in this run.
+        frac = den_gbs / probe_gbs
         log(
-            f"log-density throughput: {den_gbs:.0f} GB/s; device achievable "
-            f"(read-only stream): {roof_gbs:.0f} GB/s; roofline fraction "
-            f"{den_gbs / roof_gbs:.2f}"
+            f"log-density throughput: {den_gbs:.0f} GB/s; read-only probe "
+            f"roof: {probe_gbs:.0f} GB/s; roofline fraction vs probe "
+            f"{frac:.2f}"
         )
+        if frac > 1.05:
+            log(
+                f"NOTE: density pass exceeded the probe roof by "
+                f"{(frac - 1) * 100:.0f}% — beyond timing noise; check the "
+                f"traffic accounting if this persists."
+            )
     except Exception as e:  # pragma: no cover
         log("roofline diagnostic failed:", e)
 
@@ -470,14 +484,18 @@ def main():
     except Exception as e:  # pragma: no cover
         log("HMC diagnostic failed:", e)
 
-    print(
-        json.dumps({
-            "metric": "SIR particles/sec/chip at K=1M",
-            "value": round(pps_fw, 1),
-            "unit": "particles/s",
-            "vs_baseline": round(pps_fw / pps_hw, 4),
-        })
-    )
+    out = {
+        "metric": "SIR particles/sec/chip at K=1M",
+        "value": round(pps_fw, 1),
+        "unit": "particles/s",
+        # vs_baseline multiplies two effects; the split fields below keep
+        # them separable (vs_baseline ≈ gfi_overhead⁻¹ × sampler_speedup).
+        "vs_baseline": round(pps_fw / pps_hw, 4),
+    }
+    if gfi_overhead is not None:
+        out["gfi_overhead"] = round(gfi_overhead, 4)
+        out["sampler_speedup"] = round(sampler_speedup, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

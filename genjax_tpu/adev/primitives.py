@@ -83,18 +83,21 @@ class REINFORCE(ADEVPrimitive):
 
     def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
         (_, kdual) = konts
-        primals = Dual.tree_primal(dual_tree)
-        tangents = Dual.tree_tangent(dual_tree)
-        key, sub_key = jax.random.split(key)
-        v = self.sample(sub_key, *primals)
-        out_dual = kdual(key, Dual.tree_pure(v))
-        (out_primal,), (out_tangent,) = Dual.tree_unzip(out_dual)
-        _, lp_tangent = jax.jvp(
-            lambda *args: self.differentiable_logpdf(v, *args),
-            tuple(primals),
-            tuple(tangents),
+        k_draw, k_cont = jax.random.split(key)
+        theta = tuple(Dual.tree_primal(dual_tree))
+        theta_dot = tuple(Dual.tree_tangent(dual_tree))
+
+        # Draw v ~ p(.; θ), then measure how the log-density at the *fixed*
+        # draw moves with θ — the score part of the estimator.
+        v = self.sample(k_draw, *theta)
+        _, score_dot = jax.jvp(
+            lambda *a: self.differentiable_logpdf(v, *a), theta, theta_dot
         )
-        return Dual(out_primal, out_tangent + out_primal * lp_tangent)
+
+        # Continuation value L(v) and its own tangent (θ may also enter
+        # the loss downstream of the sample).
+        (loss,), (loss_dot,) = Dual.tree_unzip(kdual(k_cont, Dual.tree_pure(v)))
+        return Dual(loss, loss_dot + loss * score_dot)
 
     def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
         return BatchedREINFORCE(self, None, dims, size)
@@ -179,20 +182,21 @@ class FlipEnum(ADEVPrimitive):
 
     def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
         (_, kdual) = konts
-        (p_primal,) = Dual.tree_primal(dual_tree)
-        (p_tangent,) = Dual.tree_tangent(dual_tree)
-        true_dual = kdual(key, Dual(jnp.asarray(True), jnp.zeros(())))
-        false_dual = kdual(key, Dual(jnp.asarray(False), jnp.zeros(())))
-        (tp,), (tt,) = Dual.tree_unzip(true_dual)
-        (fp,), (ft,) = Dual.tree_unzip(false_dual)
-
-        def expectation(p, tl, fl):
-            return p * tl + (1.0 - p) * fl
-
-        out_primal, out_tangent = jax.jvp(
-            expectation, (p_primal, tp, fp), (p_tangent, tt, ft)
+        (p,) = Dual.tree_primal(dual_tree)
+        (p_dot,) = Dual.tree_tangent(dual_tree)
+        # Run the continuation on both outcomes (same key: the branches
+        # share all downstream randomness, which only reduces variance).
+        (l_t,), (ld_t,) = Dual.tree_unzip(
+            kdual(key, Dual(jnp.asarray(True), jnp.zeros(())))
         )
-        return Dual(out_primal, out_tangent)
+        (l_f,), (ld_f,) = Dual.tree_unzip(
+            kdual(key, Dual(jnp.asarray(False), jnp.zeros(())))
+        )
+        # E = p·L_T + (1-p)·L_F, differentiated by hand:
+        #   Ė = ṗ·(L_T - L_F) + p·L̇_T + (1-p)·L̇_F.
+        value = p * l_t + (1.0 - p) * l_f
+        d_value = p_dot * (l_t - l_f) + p * ld_t + (1.0 - p) * ld_f
+        return Dual(value, d_value)
 
     def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
         return BatchedFlipEnum(self, dims, size)
@@ -270,15 +274,18 @@ class FlipMVD(ADEVPrimitive):
 
     def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
         (kpure, kdual) = konts
-        (p_primal,) = Dual.tree_primal(dual_tree)
-        (p_tangent,) = Dual.tree_tangent(dual_tree)
-        key, sub_key = jax.random.split(key)
-        b = jax.random.bernoulli(sub_key, p_primal)
-        b_dual = kdual(key, Dual.tree_pure(b))
-        (b_primal,), (b_tangent,) = Dual.tree_unzip(b_dual)
-        other = kpure(key, jnp.logical_not(b))
-        est = jnp.where(b, 1.0, -1.0) * (other - b_primal) * -1.0
-        return Dual(b_primal, b_tangent + est * p_tangent)
+        (p,) = Dual.tree_primal(dual_tree)
+        (p_dot,) = Dual.tree_tangent(dual_tree)
+        k_draw, k_cont = jax.random.split(key)
+        b = jax.random.bernoulli(k_draw, p)
+        # Dual pass at the sampled outcome, plus one coupled pure pass at
+        # the flipped outcome (shared continuation key).
+        (loss,), (loss_dot,) = Dual.tree_unzip(kdual(k_cont, Dual.tree_pure(b)))
+        flipped_loss = kpure(k_cont, jnp.logical_not(b))
+        # MVD for Bernoulli: dE/dp = L(True,·) - L(False,·); the sampled
+        # run supplies whichever branch b landed on.
+        d_dp = jnp.where(b, loss - flipped_loss, flipped_loss - loss)
+        return Dual(loss, loss_dot + d_dp * p_dot)
 
     def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
         return BatchedFlipMVD(self, dims, size)
@@ -334,23 +341,21 @@ class FlipEnumParallel(ADEVPrimitive):
 
     def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
         (_, kdual) = konts
-        (p_primal,) = Dual.tree_primal(dual_tree)
-        (p_tangent,) = Dual.tree_tangent(dual_tree)
-        sub_keys = jax.random.split(key, 2)
-        vals = jnp.array([True, False])
+        (p,) = Dual.tree_primal(dual_tree)
+        (p_dot,) = Dual.tree_tangent(dual_tree)
 
-        def run(key, v):
-            d = kdual(key, Dual(v, jnp.zeros(())))
-            (p,), (t,) = Dual.tree_unzip(d)
-            return p, t
+        def branch(k, outcome):
+            (l,), (ld,) = Dual.tree_unzip(kdual(k, Dual(outcome, jnp.zeros(()))))
+            return l, ld
 
-        ret_primals, ret_tangents = jax.vmap(run)(sub_keys, vals)
-
-        def expectation(p, rets):
-            return jnp.sum(jnp.array([p, 1.0 - p]) * rets)
-
+        losses, loss_dots = jax.vmap(branch)(
+            jax.random.split(key, 2), jnp.array([True, False])
+        )
+        weights = jnp.stack([p, 1.0 - p])
+        d_weights = jnp.stack([p_dot, -p_dot])
+        # Product rule on Σ w_k·L_k.
         return Dual(
-            *jax.jvp(expectation, (p_primal, ret_primals), (p_tangent, ret_tangents))
+            weights @ losses, d_weights @ losses + weights @ loss_dots
         )
 
     def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
@@ -371,34 +376,28 @@ class CategoricalEnumParallel(ADEVPrimitive):
 
     def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
         (_, kdual) = konts
-        (probs_primal,) = Dual.tree_primal(dual_tree)
-        (probs_tangent,) = Dual.tree_tangent(dual_tree)
-        n = probs_primal.shape[-1]
-        idxs = jnp.arange(n)
-        sub_keys = jax.random.split(key, n)
+        (probs,) = Dual.tree_primal(dual_tree)
+        (probs_dot,) = Dual.tree_tangent(dual_tree)
+        n_cat = probs.shape[-1]
 
-        def run(key, idx):
-            d = kdual(key, Dual(idx, jnp.zeros((), dtype=idx.dtype)))
-            (p,), (t,) = Dual.tree_unzip(d)
-            return p, t
+        def branch(k, category):
+            d = kdual(k, Dual(category, jnp.zeros((), dtype=category.dtype)))
+            (l,), (ld,) = Dual.tree_unzip(d)
+            return l, ld
 
-        ret_primals, ret_tangents = jax.vmap(run)(sub_keys, idxs)
-
-        def expectation(probs, rets):
-            # `probs` are (unnormalized) probabilities — the same
-            # convention as `sample` (`categorical(key, log(probs))`) and
-            # the `vi.categorical_enum` density. (Using softmax here, as a
-            # logits convention would, silently disagrees with the
-            # sampler for any non-uniform probs.)
-            return jnp.sum(probs / jnp.sum(probs) * rets)
-
-        return Dual(
-            *jax.jvp(
-                expectation,
-                (probs_primal, ret_primals),
-                (probs_tangent, ret_tangents),
-            )
+        losses, loss_dots = jax.vmap(branch)(
+            jax.random.split(key, n_cat), jnp.arange(n_cat)
         )
+        # `probs` are (unnormalized) probabilities — the same convention as
+        # `sample` (`categorical(key, log(probs))`) and the
+        # `vi.categorical_enum` density. (A softmax/logits convention here
+        # would silently disagree with the sampler for non-uniform probs.)
+        # Normalize π = w/Σw and differentiate the quotient by hand:
+        #   π̇_k = (ẇ_k - π_k·Σẇ) / Σw.
+        total = jnp.sum(probs)
+        pi = probs / total
+        pi_dot = (probs_dot - pi * jnp.sum(probs_dot)) / total
+        return Dual(pi @ losses, pi_dot @ losses + pi @ loss_dots)
 
     def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
         return BatchedCategoricalEnum(self, dims, size)
@@ -494,18 +493,13 @@ class NormalREPARAM(TailCallADEVPrimitive):
         return loc + scale * jax.random.normal(key, shape=jnp.shape(loc + scale))
 
     def before_tail_call(self, key: PRNGKey, dual_tree) -> Dual:
-        (mu_primal, sigma_primal) = Dual.tree_primal(dual_tree)
-        (mu_tangent, sigma_tangent) = Dual.tree_tangent(dual_tree)
-        key, sub_key = jax.random.split(key)
-        eps = jax.random.normal(
-            sub_key, shape=jnp.shape(mu_primal + sigma_primal)
-        )
-        primal_out, tangent_out = jax.jvp(
-            lambda mu, sigma: mu + sigma * eps,
-            (mu_primal, sigma_primal),
-            (mu_tangent, sigma_tangent),
-        )
-        return Dual(primal_out, tangent_out)
+        (mu, sigma) = Dual.tree_primal(dual_tree)
+        (mu_dot, sigma_dot) = Dual.tree_tangent(dual_tree)
+        _, k_eps = jax.random.split(key)
+        eps = jax.random.normal(k_eps, shape=jnp.shape(mu + sigma))
+        # v = μ + σ·ε is linear in (μ, σ) given ε, so the pathwise
+        # derivative is simply v̇ = μ̇ + σ̇·ε.
+        return Dual(mu + sigma * eps, mu_dot + sigma_dot * eps)
 
 
 normal_reparam = NormalREPARAM()
@@ -518,16 +512,12 @@ class MvNormalDiagREPARAM(TailCallADEVPrimitive):
         return loc + scale_diag * jax.random.normal(key, shape=loc.shape)
 
     def before_tail_call(self, key: PRNGKey, dual_tree) -> Dual:
-        (loc_primal, scale_primal) = Dual.tree_primal(dual_tree)
-        (loc_tangent, scale_tangent) = Dual.tree_tangent(dual_tree)
-        key, sub_key = jax.random.split(key)
-        eps = jax.random.normal(sub_key, shape=loc_primal.shape)
-        primal_out, tangent_out = jax.jvp(
-            lambda loc, scale: loc + scale * eps,
-            (loc_primal, scale_primal),
-            (loc_tangent, scale_tangent),
-        )
-        return Dual(primal_out, tangent_out)
+        (loc, scale) = Dual.tree_primal(dual_tree)
+        (loc_dot, scale_dot) = Dual.tree_tangent(dual_tree)
+        _, k_eps = jax.random.split(key)
+        eps = jax.random.normal(k_eps, shape=loc.shape)
+        # Componentwise affine in (loc, scale): v̇ = l̇oc + ṡcale·ε.
+        return Dual(loc + scale * eps, loc_dot + scale_dot * eps)
 
 
 mv_normal_diag_reparam = MvNormalDiagREPARAM()
@@ -542,19 +532,18 @@ class MvNormalREPARAM(TailCallADEVPrimitive):
         return jax.random.multivariate_normal(key, mu, cov)
 
     def before_tail_call(self, key: PRNGKey, dual_tree) -> Dual:
-        (mu_primal, cov_primal) = Dual.tree_primal(dual_tree)
-        (mu_tangent, cov_tangent) = Dual.tree_tangent(dual_tree)
-        key, sub_key = jax.random.split(key)
-        eps = jax.random.normal(sub_key, shape=mu_primal.shape)
-
-        def transform(mu, cov):
-            chol = jnp.linalg.cholesky(cov)
-            return mu + chol @ eps
-
-        primal_out, tangent_out = jax.jvp(
-            transform, (mu_primal, cov_primal), (mu_tangent, cov_tangent)
+        (mu, cov) = Dual.tree_primal(dual_tree)
+        (mu_dot, cov_dot) = Dual.tree_tangent(dual_tree)
+        _, k_eps = jax.random.split(key)
+        eps = jax.random.normal(k_eps, shape=mu.shape)
+        # v = μ + chol(Σ)·ε; the Cholesky factor's derivative rides JAX's
+        # built-in JVP rule for `cholesky`.
+        value, d_value = jax.jvp(
+            lambda m, c: m + jnp.linalg.cholesky(c) @ eps,
+            (mu, cov),
+            (mu_dot, cov_dot),
         )
-        return Dual(primal_out, tangent_out)
+        return Dual(value, d_value)
 
 
 mv_normal_reparam = MvNormalREPARAM()
@@ -674,30 +663,27 @@ class Baseline(ADEVPrimitive):
 
     def jvp_estimate(self, key: PRNGKey, dual_tree, konts) -> Dual:
         (kpure, kdual) = konts
-        (b_primal, *prim_primals) = Dual.tree_primal(dual_tree)
-        (b_tangent, *prim_tangents) = Dual.tree_tangent(dual_tree)
+        (b, *inner_primals) = Dual.tree_primal(dual_tree)
+        (b_dot, *inner_tangents) = Dual.tree_tangent(dual_tree)
 
-        def shifted_kdual(key, dual):
-            ret = kdual(key, dual)
-            primal, tangent = jax.jvp(
-                lambda r, b: r - b,
-                (ret.primal, b_primal),
-                (ret.tangent, b_tangent),
-            )
-            return Dual(primal, tangent)
+        # Wrap both continuations so the inner strategy sees L - b (the
+        # shift is affine, so dual arithmetic is exact: subtract b from the
+        # primal and ḃ from the tangent); add the same shift back onto the
+        # strategy's output. E[L - b] + b == E[L], but the score term's
+        # variance scales with (L - b) instead of L.
+        def centered_kdual(k, dual):
+            ret = kdual(k, dual)
+            return Dual(ret.primal - b, ret.tangent - b_dot)
 
-        def shifted_kpure(key, *args):
-            return kpure(key, *args) - b_primal
+        def centered_kpure(k, *args):
+            return kpure(k, *args) - b
 
-        inner = self.prim.jvp_estimate(
+        centered = self.prim.jvp_estimate(
             key,
-            Dual.dual_tree(prim_primals, prim_tangents),
-            (shifted_kpure, shifted_kdual),
+            Dual.dual_tree(inner_primals, inner_tangents),
+            (centered_kpure, centered_kdual),
         )
-        primal, tangent = jax.jvp(
-            lambda l, b: l + b, (inner.primal, b_primal), (inner.tangent, b_tangent)
-        )
-        return Dual(primal, tangent)
+        return Dual(centered.primal + b, centered.tangent + b_dot)
 
     def get_batched_prim(self, dims: tuple, size: int) -> ADEVPrimitive:
         key_dim, _b_dim, *arg_dims = dims

@@ -19,10 +19,8 @@ TPU-first design notes
   treedef), so address resolution costs nothing at runtime.
 """
 
-import functools
 from collections.abc import Iterable
 from dataclasses import dataclass
-from operator import or_
 from types import EllipsisType
 from typing import Any, Generic, TypeVar
 
@@ -42,15 +40,20 @@ K_addr = TypeVar("K_addr")
 
 StaticAddressComponent = str
 DynamicAddressComponent = int | slice | Array
-AddressComponent = StaticAddressComponent | DynamicAddressComponent
-Address = AddressComponent | tuple[AddressComponent, ...]
-StaticAddress = StaticAddressComponent | tuple[StaticAddressComponent, ...]
-ExtendedStaticAddressComponent = StaticAddressComponent | EllipsisType
+AddressComponent = DynamicAddressComponent | StaticAddressComponent
+Address = tuple[AddressComponent, ...] | AddressComponent
+StaticAddress = tuple[StaticAddressComponent, ...] | StaticAddressComponent
+ExtendedStaticAddressComponent = EllipsisType | StaticAddressComponent
 ExtendedStaticAddress = (
-    ExtendedStaticAddressComponent | tuple[ExtendedStaticAddressComponent, ...]
+    tuple[ExtendedStaticAddressComponent, ...] | ExtendedStaticAddressComponent
 )
 
-_full_slice = slice(None, None, None)
+_full_slice = slice(None)
+
+
+def _tuplize(addr) -> tuple:
+    """Wrap a lone address component into a 1-tuple path."""
+    return addr if isinstance(addr, tuple) else (addr,)
 
 
 def _is_scalar_component(comp) -> bool:
@@ -62,8 +65,8 @@ def _is_full_slice(comp) -> bool:
 
 
 def _validate_addr(
-    addr: tuple[AddressComponent, ...], allow_partial_slice: bool = False
-) -> tuple[AddressComponent, ...]:
+    addr: tuple, allow_partial_slice: bool = False
+) -> tuple:
     """Check the shape grammar of an address's dynamic components.
 
     Static string components are transparent. The dynamic components must
@@ -77,7 +80,7 @@ def _validate_addr(
     """
     in_scalar_prefix = True
     for comp in addr:
-        if isinstance(comp, (StaticAddressComponent, EllipsisType)):
+        if isinstance(comp, str) or comp is ...:
             # Strings are trie keys; `...` indexes every leaf identically.
             continue
         if in_scalar_prefix:
@@ -127,10 +130,10 @@ class _SelectionBuilder:
         # selects p and every address beneath it, so selecting a submodel
         # address covers the submodel's whole choice subtree. S[()] is
         # the this-node-only leaf selection.
-        addr = addr if isinstance(addr, tuple) else (addr,)
-        if addr == ():
+        path = _tuplize(addr)
+        if not path:
             return Selection.leaf()
-        return Selection.all().extend(*addr)
+        return Selection.all().extend(*path)
 
 
 class Selection(Pytree):
@@ -190,17 +193,16 @@ class Selection(Pytree):
         return sample.filter(self)
 
     def extend(self, *addrs: ExtendedStaticAddressComponent) -> "Selection":
-        acc = self
-        for addr in reversed(addrs):
-            acc = StaticSel.build(acc, addr)
-        return acc
+        nested = self
+        for comp in reversed(addrs):
+            nested = StaticSel.build(nested, comp)
+        return nested
 
     # -- querying -------------------------------------------------------------
 
     def __call__(self, addr: StaticAddress) -> "Selection":
-        addr = addr if isinstance(addr, tuple) else (addr,)
         sub = self
-        for comp in addr:
+        for comp in _tuplize(addr):
             sub = sub.get_subselection(comp)
         return sub
 
@@ -281,14 +283,14 @@ class StaticSel(Selection):
                 return StaticSel(s, addr)
 
     def check(self) -> Flag:
-        if isinstance(self.addr, EllipsisType):
+        if self.addr is ...:
             # `...` matches zero-or-one levels (see get_subselection), so a
             # wildcard selection is checked against its inner selection.
             return self.s.check()
         return False
 
     def get_subselection(self, addr) -> Selection:
-        if isinstance(self.addr, EllipsisType):
+        if self.addr is ...:
             # The wildcard matches ZERO or ONE address components. The
             # zero-level branch (`self.s(addr)`) reconciles the two views
             # of vectorized traces: `Scan`/`Vmap` edits address steps
@@ -297,19 +299,19 @@ class StaticSel(Selection):
             # level (filter/HMC-style access — the wildcard matches
             # nothing). `S[..., "z"]` therefore works uniformly in both.
             return OrSel.build(self.s, self.s(addr))
-        if isinstance(addr, EllipsisType):
+        if addr is ...:
             return self.s
         if not static_check_is_concrete(addr):
             # Traced address component (e.g. the step index inside
             # `lax.scan` when a combinator slices a per-index selection):
             # a string-keyed selection can never match an integer level;
             # an integer-keyed one matches under a traced flag.
-            if isinstance(self.addr, StaticAddressComponent):
+            if isinstance(self.addr, str):
                 return Selection.none()
             return MaskedSel.build(self.s, jnp.asarray(addr) == self.addr)
         if isinstance(addr, Array):
             # Concrete 0-d array: compare by value against integer keys.
-            if isinstance(self.addr, StaticAddressComponent):
+            if isinstance(self.addr, str):
                 return Selection.none()
             return (
                 self.s if bool(jnp.asarray(addr) == self.addr) else Selection.none()
@@ -441,7 +443,7 @@ def statically_unmatchable_at_index_level(sel: Selection) -> bool:
             return False
         case StaticSel(_, addr):
             # A string key can never match an integer index level.
-            return isinstance(addr, StaticAddressComponent)
+            return isinstance(addr, str)
         case OrSel(s1, s2):
             return statically_unmatchable_at_index_level(
                 s1
@@ -472,28 +474,39 @@ class ChoiceMapNoValueAtAddress(Exception):
 
 
 class _ChoiceMapBuilder:
-    def __init__(self, choice_map: "ChoiceMap | None", addrs: list):
-        self.choice_map = choice_map
-        self.addrs = addrs
+    """Address-path accumulator behind `C["x", "y"].set(v)`.
+
+    Each `[...]` returns a new builder with the component(s) appended; the
+    terminal methods materialize a choice map nested at the accumulated
+    path. A builder reached from an existing map (`chm.at[...]`) merges the
+    new entry over that map with new-entry priority.
+    """
+
+    def __init__(self, base: "ChoiceMap | None", path: tuple = ()):
+        self.base = base
+        self.path = path
 
     def __getitem__(self, addr: Address) -> "_ChoiceMapBuilder":
-        addr = addr if isinstance(addr, tuple) else (addr,)
-        return _ChoiceMapBuilder(self.choice_map, [*self.addrs, *addr])
+        comps = addr if isinstance(addr, tuple) else (addr,)
+        return _ChoiceMapBuilder(self.base, self.path + comps)
 
     def set(self, v) -> "ChoiceMap":
-        addrs = _validate_addr(tuple(self.addrs), allow_partial_slice=False)
-        chm = ChoiceMap.entry(v, *addrs)
-        if self.choice_map is None:
-            return chm
-        return chm + self.choice_map
+        entry = ChoiceMap.entry(
+            v, *_validate_addr(self.path, allow_partial_slice=False)
+        )
+        return entry if self.base is None else entry | self.base
 
     def update(self, f) -> "ChoiceMap":
-        if self.choice_map is None:
-            return self.set(f(_empty))
-        submap = self.choice_map(tuple(self.addrs))
-        if submap.has_value():
-            return self.set(f(submap.get_value()))
-        return self.set(f(submap))
+        """Apply `f` to the existing entry at the path (the raw value if one
+        is present, the submap otherwise, empty if the builder is rootless)
+        and store the result."""
+        if self.base is None:
+            current = _empty
+        else:
+            sub = self.base(self.path)
+            held = sub.get_value()
+            current = sub if held is None else held
+        return self.set(f(current))
 
     def n(self) -> "ChoiceMap":
         return _empty
@@ -501,17 +514,17 @@ class _ChoiceMapBuilder:
     def v(self, v) -> "ChoiceMap":
         return self.set(ChoiceMap.choice(v))
 
-    def from_mapping(self, mapping) -> "ChoiceMap":
-        return self.set(ChoiceMap.from_mapping(mapping))
+    def from_mapping(self, pairs) -> "ChoiceMap":
+        return self.set(ChoiceMap.from_mapping(pairs))
 
-    def d(self, d: dict) -> "ChoiceMap":
-        return self.set(ChoiceMap.d(d))
+    def d(self, entries: dict) -> "ChoiceMap":
+        return self.set(ChoiceMap.d(entries))
 
-    def kw(self, **kwargs) -> "ChoiceMap":
-        return self.set(ChoiceMap.kw(**kwargs))
+    def kw(self, **entries) -> "ChoiceMap":
+        return self.set(ChoiceMap.kw(**entries))
 
-    def switch(self, idx, chms) -> "ChoiceMap":
-        return self.set(ChoiceMap.switch(idx, chms))
+    def switch(self, idx, branches) -> "ChoiceMap":
+        return self.set(ChoiceMap.switch(idx, branches))
 
 
 class ChoiceMap(Pytree):
@@ -564,13 +577,13 @@ class ChoiceMap(Pytree):
     # -- derived interface -------------------------------------------------------
 
     def get_submap(self, *addresses: Address) -> "ChoiceMap":
-        addr = tuple(
-            label
-            for a in addresses
-            for label in (a if isinstance(a, tuple) else (a,))
-        )
-        addr = _validate_addr(addr, allow_partial_slice=True)
-        return functools.reduce(lambda chm, comp: chm.get_inner_map(comp), addr, self)
+        flat: list[AddressComponent] = []
+        for a in addresses:
+            flat.extend(a) if isinstance(a, tuple) else flat.append(a)
+        chm = self
+        for comp in _validate_addr(tuple(flat), allow_partial_slice=True):
+            chm = chm.get_inner_map(comp)
+        return chm
 
     def has_value(self) -> bool:
         return self.get_value() is not None
@@ -592,25 +605,23 @@ class ChoiceMap(Pytree):
 
     @staticmethod
     def entry(v, *addrs: AddressComponent) -> "ChoiceMap":
-        if isinstance(v, ChoiceMap):
-            chm = v
-        elif isinstance(v, dict):
-            chm = ChoiceMap.d(v)
-        else:
-            chm = ChoiceMap.choice(v)
+        """Nest `v` (a value, dict, or existing map) under an address path."""
+        if isinstance(v, dict):
+            v = ChoiceMap.d(v)
+        chm = v if isinstance(v, ChoiceMap) else ChoiceMap.choice(v)
         return chm.extend(*addrs)
 
     @staticmethod
     def from_mapping(pairs: Iterable[tuple[Any, Any]]) -> "ChoiceMap":
         acc = ChoiceMap.empty()
         for addr, v in pairs:
-            addr = addr if isinstance(addr, tuple) else (addr,)
-            acc |= ChoiceMap.entry(v, *addr)
+            comps = addr if isinstance(addr, tuple) else (addr,)
+            acc |= ChoiceMap.entry(v, *comps)
         return acc
 
     @staticmethod
-    def d(d: dict) -> "ChoiceMap":
-        return ChoiceMap.from_mapping(d.items())
+    def d(entries: dict) -> "ChoiceMap":
+        return ChoiceMap.from_mapping(entries.items())
 
     @staticmethod
     def kw(**kwargs) -> "ChoiceMap":
@@ -626,13 +637,14 @@ class ChoiceMap(Pytree):
         return self.filter(flag)
 
     def extend(self, *addrs: AddressComponent) -> "ChoiceMap":
-        acc = self
-        for addr in reversed(addrs):
-            if isinstance(addr, StaticAddressComponent):
-                acc = Static.build({addr: acc})
-            else:
-                acc = Indexed.build(acc, addr)
-        return acc
+        nested = self
+        for comp in reversed(addrs):
+            nested = (
+                Static.build({comp: nested})
+                if isinstance(comp, str)
+                else Indexed.build(nested, comp)
+            )
+        return nested
 
     def merge(self, other: "ChoiceMap") -> "ChoiceMap":
         return self | other
@@ -672,17 +684,23 @@ class ChoiceMap(Pytree):
 
     @property
     def at(self) -> _ChoiceMapBuilder:
-        return _ChoiceMapBuilder(self, [])
+        return _ChoiceMapBuilder(self)
 
     def invalid_subset(self, gen_fn, args) -> "ChoiceMap | None":
         """Return the sub-choicemap whose addresses are not reachable in
         `gen_fn(*args)`'s execution, or None if all addresses are valid."""
-        shape_chm = gen_fn.get_zero_trace(*args).get_choices()
-        shape_sel = _shape_selection(shape_chm)
-        extras = self.filter(~shape_sel)
-        if not extras.static_is_empty():
-            return extras
-        return None
+        reachable = _shape_selection(gen_fn.get_zero_trace(*args).get_choices())
+        unreachable = self.filter(~reachable)
+        return None if unreachable.static_is_empty() else unreachable
+
+
+def _index_leaves(chm: ChoiceMap, idx) -> ChoiceMap:
+    """Index every leaf array of a choice map along its leading axis,
+    treating embedded `Mask`s as leaves so their flag/value pair is indexed
+    coherently (the flag spans the same leading axis)."""
+    return jtu.tree_map(
+        lambda leaf: leaf[idx], chm, is_leaf=lambda x: isinstance(x, Mask)
+    )
 
 
 @Pytree.dataclass(match_args=True)
@@ -693,59 +711,72 @@ class Choice(Generic[T], ChoiceMap):
 
     @staticmethod
     def build(v: T) -> ChoiceMap:
-        if isinstance(v, Array) and v.shape == (0,):
+        if getattr(v, "shape", None) == (0,):
+            # Zero-length batches carry no choices.
             return ChoiceMap.empty()
-        if isinstance(v, Mask):
-            flag = v.primal_flag()
-            if flag is False:
-                return ChoiceMap.empty()
-            if flag is True:
-                return Choice(v.value)
+        if not isinstance(v, Mask):
             return Choice(v)
-        return Choice(v)
+        # Collapse statically-decided masks: a definitely-dead value is the
+        # empty map, a definitely-live one sheds its wrapper.
+        match v.flatten():
+            case None:
+                return ChoiceMap.empty()
+            case Mask() as still_masked:
+                return Choice(still_masked)
+            case plain:
+                return Choice(plain)
 
     def filter(self, selection: Selection | Flag) -> ChoiceMap:
-        if isinstance(selection, Selection):
-            check = selection.check()
-            if FlagOp.concrete_true(check):
-                return self
-            if FlagOp.concrete_false(check):
-                return ChoiceMap.empty()
-            # Traced selection check (MaskedSel / masked ChmSel): keep the
-            # value behind a traced Mask flag.
-            return Choice.build(Mask.build(self.v, check))
-        masked = Mask.build(self.v, selection)
-        return Choice.build(masked)
+        if not isinstance(selection, Selection):
+            # Raw flag: mask the held value directly.
+            return Choice.build(Mask.build(self.v, selection))
+        keep = selection.check()
+        if FlagOp.concrete_true(keep):
+            return self
+        if FlagOp.concrete_false(keep):
+            return ChoiceMap.empty()
+        # Runtime-valued check (MaskedSel / masked ChmSel): defer the
+        # decision into a traced Mask flag.
+        return Choice.build(Mask.build(self.v, keep))
 
     def get_value(self) -> T:
         return self.v
 
     def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
-        if isinstance(addr, StaticAddressComponent):
+        if isinstance(addr, str):
             return ChoiceMap.empty()
-        return jtu.tree_map(
-            lambda v: v[addr], self, is_leaf=lambda x: isinstance(x, Mask)
-        )
+        return _index_leaves(self, addr)
 
 
 @Pytree.dataclass(match_args=True)
 class Indexed(ChoiceMap):
-    """A choice map nested under a dynamic (integer-array) address."""
+    """A choice map nested under a dynamic (integer-array) address.
+
+    `addr` is either a scalar (the submap lives at that single index) or a
+    1-d array pairing each leading-axis row of the submap's leaves with an
+    index. Lookup against an array address is a dense first-hit search —
+    compare all stored indices, `argmax` the Boolean hits to locate the
+    winning row, gather it, and mask by whether any hit occurred. No
+    data-dependent control flow, so the whole lookup stays inside one fused
+    XLA computation.
+    """
 
     c: ChoiceMap
     addr: IntArray
 
     @staticmethod
     def build(chm: ChoiceMap, addr: DynamicAddressComponent) -> ChoiceMap:
-        if chm.static_is_empty():
-            return chm
         if isinstance(addr, slice):
-            if addr == _full_slice:
-                return chm
-            raise ValueError(f"Partial slices not supported: {addr}")
-        if isinstance(addr, Array) and addr.shape == (0,):
-            return ChoiceMap.empty()
-        return Indexed(chm, addr)
+            if addr != _full_slice:
+                raise ValueError(
+                    f"Only the full slice [:] may address an Indexed node; "
+                    f"got {addr!r}."
+                )
+            return chm
+        is_empty = chm.static_is_empty() or (
+            isinstance(addr, Array) and addr.shape == (0,)
+        )
+        return ChoiceMap.empty() if is_empty else Indexed(chm, addr)
 
     def filter(self, selection: Selection | Flag) -> ChoiceMap:
         return self.c.filter(selection).extend(self.addr)
@@ -754,87 +785,76 @@ class Indexed(ChoiceMap):
         return None
 
     def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
-        if isinstance(addr, StaticAddressComponent):
+        if isinstance(addr, str):
             return ChoiceMap.empty()
 
-        if not isinstance(addr, slice):
-            assert not jnp.asarray(addr, copy=False).shape, (
-                "Only scalar dynamic addresses are supported by get_submap."
-            )
+        stored = self.addr
+        if not (isinstance(stored, Array) and stored.ndim):
+            # Scalar stored index: membership is a single flag over the
+            # whole submap.
+            return self.c.mask(stored == addr)
 
-        if isinstance(self.addr, Array) and self.addr.shape:
-            assert not isinstance(addr, slice), (
-                "Slices are not allowed against array-shaped dynamic "
-                f"addresses. Tried to apply {addr} to {self.addr}."
+        if isinstance(addr, slice):
+            raise ValueError(
+                f"An array-addressed Indexed node supports scalar lookups "
+                f"only; got slice {addr!r} against indices of shape "
+                f"{stored.shape}."
             )
-            check = self.addr == addr
-            # Single gather: find the matching position (or junk slot 0
-            # masked False).
-            idx = jnp.argwhere(check, size=1, fill_value=0)[0, 0]
-            return jtu.tree_map(
-                lambda v: Mask.build(v[idx], check[idx]),
-                self.c,
-                is_leaf=lambda x: isinstance(x, Mask),
-            )
-
-        return self.c.mask(self.addr == addr)
+        query = jnp.asarray(addr, copy=False)
+        assert query.ndim == 0, (
+            f"Dynamic lookup requires a scalar index; got shape {query.shape}."
+        )
+        hits = stored == query
+        row = jnp.argmax(hits)  # first hit; row 0 (don't-care) when none
+        found = jnp.any(hits)
+        return jtu.tree_map(
+            lambda leaf: Mask.build(leaf[row], found),
+            self.c,
+            is_leaf=lambda x: isinstance(x, Mask),
+        )
 
 
 @Pytree.dataclass(match_args=True)
 class Static(ChoiceMap):
-    """A static trie node: dict of address component -> sub choice map.
+    """A static trie node mapping string components to sub choice maps.
 
-    The dict keys are static metadata (treedef), so address resolution is
-    free at runtime; only leaf arrays are traced.
+    Children are ChoiceMap nodes held in a plain dict; the keys live in the
+    treedef (static metadata), so address resolution costs nothing at
+    runtime — only leaf arrays are traced.
     """
 
-    mapping: dict
+    children: dict
 
     @staticmethod
-    def build(d: dict) -> "Static":
-        def unwrap(sub):
-            if isinstance(sub, Static):
-                return sub.mapping
-            return sub
-
-        return Static({k: unwrap(v) for k, v in d.items() if not v.static_is_empty()})
+    def build(children: dict) -> "Static":
+        return Static(
+            {k: sub for k, sub in children.items() if not sub.static_is_empty()}
+        )
 
     @staticmethod
     def merge_with(merge, c1: "Static", c2: "Static") -> ChoiceMap:
-        merged = {}
-        for key in c1.mapping.keys() | c2.mapping.keys():
-            if key in c1.mapping and key in c2.mapping:
-                merged[key] = merge(c1.get_submap(key), c2.get_submap(key))
-            elif key in c1.mapping:
-                merged[key] = c1.get_submap(key)
-            else:
-                merged[key] = c2.get_submap(key)
-        return Static.build(merged)
+        combined = dict(c1.children)
+        for key, sub in c2.children.items():
+            combined[key] = merge(combined[key], sub) if key in combined else sub
+        return Static.build(combined)
 
     def filter(self, selection: Selection | Flag) -> ChoiceMap:
-        def to_subsel(addr):
-            if isinstance(selection, Selection):
-                return selection(addr)
-            return selection
-
-        return Static.build({
-            addr: self.get_submap(addr).filter(to_subsel(addr))
-            for addr in self.mapping.keys()
-        })
+        if isinstance(selection, Selection):
+            kept = {k: sub.filter(selection(k)) for k, sub in self.children.items()}
+        else:
+            kept = {k: sub.filter(selection) for k, sub in self.children.items()}
+        return Static.build(kept)
 
     def get_value(self) -> Any:
         return None
 
     def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
-        if isinstance(addr, StaticAddressComponent):
-            v = self.mapping.get(addr, {})
-            return Static(v) if isinstance(v, dict) else v
-        return jtu.tree_map(
-            lambda v: v[addr], self, is_leaf=lambda x: isinstance(x, Mask)
-        )
+        if isinstance(addr, str):
+            return self.children.get(addr, _empty)
+        return _index_leaves(self, addr)
 
     def static_is_empty(self) -> bool:
-        return len(self.mapping) == 0
+        return not self.children
 
 
 @Pytree.dataclass(match_args=True)
@@ -847,21 +867,25 @@ class Switch(ChoiceMap):
 
     @staticmethod
     def build(idx, chm_iter: Iterable[ChoiceMap]) -> ChoiceMap:
+        branches = list(chm_iter)
         if isinstance(idx, int):
-            return list(chm_iter)[idx]
-        chms = [chm.mask(i == idx) for i, chm in enumerate(chm_iter)]
-        return Switch(idx, chms)
+            # Statically-known branch: no masking machinery needed.
+            return branches[idx]
+        return Switch(idx, [b.mask(idx == i) for i, b in enumerate(branches)])
 
     def filter(self, selection: Selection | Flag) -> ChoiceMap:
-        return Switch(self.idx, [chm.filter(selection) for chm in self.chms])
+        return Switch(self.idx, [b.filter(selection) for b in self.chms])
 
     def get_value(self) -> Any:
-        vs = [chm.get_value() for chm in self.chms]
-        entries = [Mask.build(v) for v in vs if v is not None]
-        return Mask.or_n(*entries) if entries else None
+        live = [
+            Mask.build(v)
+            for v in (b.get_value() for b in self.chms)
+            if v is not None
+        ]
+        return Mask.or_n(*live) if live else None
 
     def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
-        return Switch(self.idx, [chm.get_inner_map(addr) for chm in self.chms])
+        return Switch(self.idx, [b.get_inner_map(addr) for b in self.chms])
 
 
 @Pytree.dataclass(match_args=True)
@@ -873,78 +897,69 @@ class Or(ChoiceMap):
 
     @staticmethod
     def build(c1: ChoiceMap, c2: ChoiceMap) -> ChoiceMap:
-        if c2.static_is_empty():
-            return c1
         if c1.static_is_empty():
             return c2
+        if c2.static_is_empty():
+            return c1
         match (c1, c2):
             case (Static(), Static()):
-                return Static.merge_with(or_, c1, c2)
+                # Tries merge key-by-key, recursing on collisions.
+                return Static.merge_with(lambda a, b: a | b, c1, c2)
             case (Choice(a), Choice(b)):
-                a = Mask.build(a)
-                b = Mask.build(b)
-                return Choice.build(a | b)
-            case (Switch(), Switch()):
-                # Two index-masked unions: keep the generic left-priority
-                # node (get_value/get_inner_map distribute correctly).
-                return Or(c1, c2)
-            case (Switch(idx, chms), _):
-                return Switch.build(idx, [sub | c2 for sub in chms])
-            case (_, Switch(idx, chms)):
-                return Switch.build(idx, [c1 | sub for sub in chms])
+                # Two leaves: resolve eagerly via the Mask union (left wins
+                # where valid).
+                return Choice.build(Mask.build(a) | Mask.build(b))
+            case (Switch(idx, branches), _) if not isinstance(c2, Switch):
+                # Push the union into each branch so the switch structure
+                # survives (its per-branch masks already encode priority).
+                return Switch.build(idx, [b | c2 for b in branches])
+            case (_, Switch(idx, branches)) if not isinstance(c1, Switch):
+                return Switch.build(idx, [c1 | b for b in branches])
             case _:
                 # Heterogeneous overlap (leaf vs subtree, masked leaf vs
-                # trie, …): the generic node applies left priority lazily.
+                # trie, switch vs switch): keep a lazy left-priority node;
+                # get_value/get_inner_map distribute over it.
                 return Or(c1, c2)
 
     def filter(self, selection: Selection | Flag) -> ChoiceMap:
         return self.c1.filter(selection) | self.c2.filter(selection)
 
     def get_value(self) -> Any:
-        v1 = self.c1.get_value()
-        v2 = self.c2.get_value()
-        if v1 is None:
-            return v2
-        if v2 is None:
-            return v1
-        m = Mask.build(v1) | Mask.build(v2)
-        flag = m.primal_flag()
-        return m.value if flag is True else m
+        left, right = self.c1.get_value(), self.c2.get_value()
+        if left is None or right is None:
+            return left if right is None else right
+        union = Mask.build(left) | Mask.build(right)
+        # Shed the wrapper when validity is statically certain.
+        return union.value if union.primal_flag() is True else union
 
     def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
         return self.c1.get_inner_map(addr) | self.c2.get_inner_map(addr)
 
 
 def _shape_selection(chm: ChoiceMap) -> Selection:
-    """Build the selection of all addresses reachable in `chm`'s structure
+    """The selection of every address reachable in `chm`'s structure
     (used by `invalid_subset`)."""
-
-    def loop(inner: ChoiceMap, selection: Selection) -> Selection:
-        match inner:
-            case Static(mapping):
-                acc = Selection.none()
-                for addr in mapping.keys():
-                    sub_chm = inner.get_submap(addr)
-                    sub_sel = selection(addr)
-                    acc |= loop(sub_chm, sub_sel).extend(addr)
-                return acc
-            case Indexed(c, _):
-                return loop(c, selection).extend(...)
-            case Choice():
-                return LeafSel()
-            case Or(c1, c2):
-                return loop(c1, selection) | loop(c2, selection)
-            case Switch(_, chms):
-                acc = loop(chms[0], selection)
-                for sub in chms[1:]:
-                    acc |= loop(sub, selection)
-                return acc
-            case _:
-                raise ValueError(f"Unknown ChoiceMap type: {type(inner)}")
-
-    return loop(chm, Selection.all())
+    match chm:
+        case Static(children):
+            acc = Selection.none()
+            for addr, sub in children.items():
+                acc |= _shape_selection(sub).extend(addr)
+            return acc
+        case Indexed(inner, _):
+            return _shape_selection(inner).extend(...)
+        case Choice():
+            return LeafSel()
+        case Or(c1, c2):
+            return _shape_selection(c1) | _shape_selection(c2)
+        case Switch(_, branches):
+            acc = Selection.none()
+            for sub in branches:
+                acc |= _shape_selection(sub)
+            return acc
+        case _:
+            raise ValueError(f"Unknown ChoiceMap node: {type(chm)}")
 
 
 _empty = Static({})
-ChoiceMapBuilder = _ChoiceMapBuilder(_empty, [])
-ChoiceMap.builder = _ChoiceMapBuilder(None, [])
+ChoiceMapBuilder = _ChoiceMapBuilder(_empty)
+ChoiceMap.builder = _ChoiceMapBuilder(None)

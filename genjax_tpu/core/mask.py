@@ -1,14 +1,19 @@
 """`Mask`: a sum type for possibly-invalid values.
 
 Capability parity with reference
-`_src/core/generative/functional_types.py:43-368`: construction/validation,
+`_src/core/generative/functional_types.py` (construction/validation,
 `build`, `maybe_mask`, `flatten`, `unmask`, `primal_flag`, indexing, and the
-`or`/`xor`/`invert` combinator algebra (including vectorized flags).
+`or`/`xor`/`invert` combinator algebra, including vectorized flags). The
+implementation here is an independent derivation from that semantic spec.
 
-The value/flag pair representation is dense and vectorization-friendly:
-under `vmap`/`scan` the flag picks up batch dimensions as a prefix of the
-value's shape, which is exactly the layout a TPU wants (select on dense
-arrays rather than data-dependent control flow).
+Representation: a pytree `value` paired with a Boolean `flag` whose shape is
+either scalar or a *leading-axes prefix* of every value leaf. This dense
+layout is what vectorization produces naturally — `vmap`/`scan` prepend batch
+dimensions to both halves — and it keeps all mask algebra as elementwise
+selects on contiguous arrays, which XLA fuses for free on TPU. Combination
+(`|`, `^`) is implemented as a single broadcast-select over the pair of
+values (no branch dispatch, no gather): the left value wins wherever its flag
+is set, and only the flag arithmetic differs between the two operators.
 """
 
 import functools
@@ -22,10 +27,30 @@ from jax.experimental import checkify
 from genjax_tpu.core.checkify import optional_check
 from genjax_tpu.core.diff import Diff
 from genjax_tpu.core.pytree import Pytree
-from genjax_tpu.core.staging import FlagOp, tree_choose
-from genjax_tpu.core.typing import ArrayLike, Flag
+from genjax_tpu.core.staging import FlagOp
+from genjax_tpu.core.typing import Flag
 
 R = TypeVar("R")
+
+
+def _strip_diff(flag: Flag | Diff) -> Flag:
+    """Primal Boolean of a flag that may carry a change tangent."""
+    return flag.get_primal() if isinstance(flag, Diff) else flag
+
+
+def _select_leaves(flag: Flag, on_true: R, on_false: R) -> R:
+    """Pick `on_true` leaves where `flag` holds, else `on_false`.
+
+    The flag indexes leading axes only, so each leaf sees the flag expanded
+    with trailing singleton dims — one fused `where` per leaf, no reshuffling.
+    """
+    rank = jnp.ndim(flag)
+
+    def pick(a, b):
+        f = jnp.reshape(flag, jnp.shape(flag) + (1,) * (jnp.ndim(a) - rank))
+        return jnp.where(f, a, b)
+
+    return jtu.tree_map(pick, on_true, on_false)
 
 
 @Pytree.dataclass(match_args=True, init=False)
@@ -57,57 +82,66 @@ class Mask(Generic[R], Pytree):
 
     def __init__(self, value: R, flag: Flag | Diff = True) -> None:
         assert not isinstance(value, Mask), (
-            f"Mask should not be instantiated with another Mask! found {value}"
+            "Refusing to nest a Mask directly inside a Mask; "
+            "compose flags with Mask.build instead."
         )
-        Mask._validate_init(value, flag)
+        Mask._check_flag_covers(value, flag)
         object.__setattr__(self, "value", value)
         object.__setattr__(self, "flag", flag)
 
     @staticmethod
-    def _validate_init(value: R, flag: Flag | Diff) -> None:
-        primal = flag.get_primal() if isinstance(flag, Diff) else flag
-        f_shape = jnp.shape(primal)
-        if f_shape == ():
+    def _check_flag_covers(value: R, flag: Flag | Diff) -> None:
+        """A non-scalar flag must address leading axes present on every leaf."""
+        f_shape = jnp.shape(_strip_diff(flag))
+        if not f_shape:
             return
-        prefix_len = len(f_shape)
-        for leaf in jtu.tree_leaves(value):
-            shape = jnp.shape(leaf)
-            if shape[:prefix_len] != f_shape:
-                raise ValueError(
-                    f"Vectorized flag {flag}'s shape {f_shape} must be a "
-                    f"prefix of all leaf shapes. Found {shape}."
-                )
+        bad = [
+            jnp.shape(leaf)
+            for leaf in jtu.tree_leaves(value)
+            if jnp.shape(leaf)[: len(f_shape)] != f_shape
+        ]
+        if bad:
+            raise ValueError(
+                f"Vectorized mask flag of shape {f_shape} does not cover the "
+                f"leading axes of every value leaf (offending leaf shapes: "
+                f"{bad})."
+            )
 
-    @staticmethod
-    def _validate_leaf_shapes(this: R, other: R):
-        def check(x, y):
-            if jnp.shape(x) != jnp.shape(y):
-                raise ValueError(
-                    "Cannot combine masks with different array shapes: "
-                    f"{jnp.shape(x)} vs {jnp.shape(y)}"
-                )
-
-        jtu.tree_map(check, this, other)
-
-    def _validate_mask_shapes(self, other: "Mask[R]") -> None:
+    def _check_combinable(self, other: "Mask[R]") -> None:
+        """`|`/`^` require identical tree structure and leaf shapes."""
         if jtu.tree_structure(self.value) != jtu.tree_structure(other.value):
-            raise ValueError("Cannot combine masks with different tree structures!")
-        Mask._validate_leaf_shapes(self, other)
+            raise ValueError(
+                "Mask combination requires operands with identical pytree "
+                "structure."
+            )
+        mismatched = [
+            (jnp.shape(a), jnp.shape(b))
+            for a, b in zip(
+                jtu.tree_leaves(self.value), jtu.tree_leaves(other.value)
+            )
+            if jnp.shape(a) != jnp.shape(b)
+        ]
+        if mismatched:
+            raise ValueError(
+                f"Mask combination requires matching leaf shapes; "
+                f"found mismatches {mismatched}."
+            )
 
     # -- constructors -------------------------------------------------------
 
     @staticmethod
     def build(v: "R | Mask[R]", f: Flag | Diff = True) -> "Mask[R]":
         """Build a Mask; if `v` is already a Mask, flags combine by AND."""
-        if isinstance(v, Mask):
-            g = v.flag
-            assert not isinstance(f, Diff) and not isinstance(g, Diff)
-            assert FlagOp.is_scalar(f) or (jnp.shape(f) == jnp.shape(g)), (
-                f"Can't build a Mask with non-matching Flag shapes "
-                f"{jnp.shape(f)} and {jnp.shape(g)}"
-            )
-            return Mask(v.value, FlagOp.and_(f, g))
-        return Mask(v, f)
+        if not isinstance(v, Mask):
+            return Mask(v, f)
+        inner = v.flag
+        assert not isinstance(f, Diff) and not isinstance(inner, Diff)
+        assert FlagOp.is_scalar(f) or jnp.shape(f) == jnp.shape(inner), (
+            f"Cannot conjoin a flag of shape {jnp.shape(f)} onto a Mask whose "
+            f"own flag has shape {jnp.shape(inner)}; shapes must agree "
+            f"(or the new flag must be scalar)."
+        )
+        return Mask(v.value, FlagOp.and_(f, inner))
 
     @staticmethod
     def maybe_mask(v: "R | Mask[R]", f: Flag) -> "R | Mask[R] | None":
@@ -118,14 +152,17 @@ class Mask(Generic[R], Pytree):
     # -- accessors -----------------------------------------------------------
 
     def __getitem__(self, path) -> "Mask[R]":
-        path = path if isinstance(path, tuple) else (path,)
-        f = self.primal_flag()
-        if isinstance(f, Array) and f.shape:
-            f = f[path[: len(f.shape)]]
-        v_idx = jtu.tree_map(lambda v: v[path], self.value)
+        if not isinstance(path, tuple):
+            path = (path,)
+        flag = self.primal_flag()
+        if isinstance(flag, Array) and flag.ndim:
+            # The flag only spans leading axes; consume the matching prefix
+            # of the path and leave the rest to the value leaves.
+            flag = flag[path[: flag.ndim]]
+        sliced = jtu.tree_map(lambda leaf: leaf[path], self.value)
         if isinstance(self.flag, Diff):
-            f = Diff(f, self.flag.tangent)
-        return Mask.build(v_idx, f)
+            flag = Diff(flag, self.flag.tangent)
+        return Mask.build(sliced, flag)
 
     def flatten(self) -> "R | Mask[R] | None":
         flag = self.primal_flag()
@@ -138,62 +175,57 @@ class Mask(Generic[R], Pytree):
     def unmask(self, default: R | None = None) -> R:
         """Extract the value. Unsafe without `default` unless the flag is
         valid at runtime (checked only inside `do_checkify()`)."""
-        if default is None:
+        if default is not None:
+            return _select_leaves(self.primal_flag(), self.value, default)
 
-            def _check():
-                checkify.check(
-                    jnp.all(self.primal_flag()),
-                    "Attempted to unmask when a mask flag (or some flag in a "
-                    "vectorized mask) is False: the unmasked value is invalid.\n",
-                )
+        def _check():
+            checkify.check(
+                jnp.all(self.primal_flag()),
+                "Mask.unmask() without a default, but the flag (or some "
+                "entry of a vectorized flag) is False at runtime — the "
+                "extracted value is not meaningful.\n",
+            )
 
-            optional_check(_check)
-            return self.value
-
-        def inner(true_v: ArrayLike, false_v: ArrayLike):
-            return jnp.where(self.primal_flag(), true_v, false_v)
-
-        return jtu.tree_map(inner, self.value, default)
+        optional_check(_check)
+        return self.value
 
     def primal_flag(self) -> Flag:
-        f = self.flag
-        if isinstance(f, Diff):
-            return f.primal
-        return f
+        return _strip_diff(self.flag)
 
     # -- combinators ----------------------------------------------------------
 
-    def _or_idx(self, first: Flag, second: Flag):
-        """first=1,second=* -> 0; first=0,second=1 -> 1; neither -> -1."""
-        return first + 2 * FlagOp.and_(FlagOp.not_(first), second) - 1
-
     def __or__(self, other: "Mask[R]") -> "Mask[R]":
-        self._validate_mask_shapes(other)
+        """Left-biased union: keep `self` where valid, else `other`."""
+        self._check_combinable(other)
         f1, f2 = self.primal_flag(), other.primal_flag()
-        if f1 is True:
+        if FlagOp.concrete_true(f1):
             return self
-        if f1 is False:
+        if FlagOp.concrete_false(f1):
             return other
-        idx = self._or_idx(f1, f2)
-        return tree_choose(idx, [self, other])
+        return Mask(_select_leaves(f1, self.value, other.value), FlagOp.or_(f1, f2))
 
     def __xor__(self, other: "Mask[R]") -> "Mask[R]":
-        self._validate_mask_shapes(other)
+        """Exclusive union: valid iff exactly one operand is; keeps that one."""
+        self._check_combinable(other)
         f1, f2 = self.primal_flag(), other.primal_flag()
-        match (f1, f2):
-            case (False, False) | (True, True):
-                return Mask.build(self, False)
-            case (True, False):
-                return self
-            case (False, True):
-                return other
-        idx = self._or_idx(f1, f2)
-        chosen = tree_choose(idx, [self.value, other.value])
-        return Mask(chosen, FlagOp.xor_(f1, f2))
+        if FlagOp.concrete_true(f1) and FlagOp.concrete_false(f2):
+            return self
+        if FlagOp.concrete_false(f1) and FlagOp.concrete_true(f2):
+            return other
+        if all(
+            FlagOp.concrete_true(f) or FlagOp.concrete_false(f) for f in (f1, f2)
+        ):
+            # Statically both-valid or both-invalid: a definitely-dead mask.
+            return Mask.build(self, False)
+        # Where exactly one flag holds, the select below picks the valid
+        # operand; where both or neither hold the result flag is False and
+        # the value slot is don't-care.
+        return Mask(
+            _select_leaves(f1, self.value, other.value), FlagOp.xor_(f1, f2)
+        )
 
     def __invert__(self) -> "Mask[R]":
-        not_flag = jtu.tree_map(FlagOp.not_, self.flag)
-        return Mask(self.value, not_flag)
+        return Mask(self.value, jtu.tree_map(FlagOp.not_, self.flag))
 
     @staticmethod
     def or_n(mask: "Mask[R]", *masks: "Mask[R]") -> "Mask[R]":

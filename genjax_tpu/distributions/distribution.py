@@ -13,10 +13,8 @@ from typing import Callable, Generic, TypeVar
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import checkify
 
 from genjax_tpu.core import checked
-from genjax_tpu.core.checkify import optional_check
 from genjax_tpu.core.choice_map import ChoiceMap, Selection
 from genjax_tpu.core.concepts import (
     Argdiffs,
@@ -88,26 +86,28 @@ class Distribution(Generic[R], GenerativeFunction[R]):
             checked.check_key(key, f"{type(self).__name__}.generate")
             checked.check_choice_map(constraint, f"{type(self).__name__}.generate")
             checked.check_args(args, f"{type(self).__name__}.generate")
-        v = constraint.get_value()
-        match v:
-            case None:
-                tr = self.simulate(key, args)
-                return tr, jnp.zeros(())
-            case Mask(value, flag):
-
-                def _importance(key, v):
-                    w = self.estimate_logpdf(key, v, *args)
-                    return (w, w, v)
-
-                def _simulate(key, v):
-                    score, new_v = self.random_weighted(key, *args)
-                    return (score, jnp.zeros(()), new_v)
-
-                score, w, new_v = FlagOp.cond(flag, _importance, _simulate, key, value)
-                return DistributionTrace(self, args, new_v, score), w
-            case _:
-                w = self.estimate_logpdf(key, v, *args)
-                return DistributionTrace(self, args, v, w), w
+        held = constraint.get_value()
+        if held is None:
+            # Unconstrained: fresh draw, importance weight 1.
+            return self.simulate(key, args), jnp.zeros(())
+        if not isinstance(held, Mask):
+            # Fully constrained: the draw IS the constraint; weight is its
+            # density (score and weight coincide for a single choice).
+            density = self.estimate_logpdf(key, held, *args)
+            return DistributionTrace(self, args, held, density), density
+        # Runtime-gated constraint (a traced Mask flag, e.g. a per-index
+        # constraint inside `Vmap`/`Scan`). Dense formulation: run BOTH the
+        # fresh draw and the density evaluation, then select — this is what
+        # a `cond` lowers to under vmap anyway, and it keeps the whole
+        # branch as fused elementwise work on TPU.
+        flag = held.primal_flag()
+        k_sim, k_score = jax.random.split(key)
+        fresh_score, fresh_v = self.random_weighted(k_sim, *args)
+        pinned_density = self.estimate_logpdf(k_score, held.value, *args)
+        value = Mask(held.value, flag).unmask(default=fresh_v)
+        score = jnp.where(flag, pinned_density, fresh_score)
+        weight = jnp.where(flag, pinned_density, jnp.zeros(()))
+        return DistributionTrace(self, args, value, score), weight
 
     def project(
         self, key: PRNGKey, trace: Trace[R], selection: Selection
@@ -126,45 +126,36 @@ class Distribution(Generic[R], GenerativeFunction[R]):
         constraint: ChoiceMap,
         argdiffs: Argdiffs,
     ) -> tuple[Trace[R], Weight, Retdiff, Update]:
-        primals = Diff.tree_primal(argdiffs)
-        match constraint.get_value():
-            case Mask() as masked_value:
+        # Every update case reduces to "re-score some value under the new
+        # args"; the cases differ only in WHICH value wins, what gets
+        # discarded, and the retdiff annotation.
+        new_args = Diff.tree_primal(argdiffs)
+        old_choices = trace.get_choices()
+        old_value = old_choices.get_value()
+        proposed = constraint.get_value()
 
-                def _constrained(key, new_value, _):
-                    fwd = self.estimate_logpdf(key, new_value, *primals)
-                    return (new_value, fwd - trace.get_score(), fwd)
+        if proposed is None:
+            winner = old_value
+            discard = ChoiceMap.empty()
+            retdiff = Diff.no_change(winner)
+        elif isinstance(proposed, Mask):
+            # Runtime-gated constraint: select the winner densely, then do
+            # ONE density evaluation (both arms of the reference's cond
+            # compute the same density at different points — selecting the
+            # point first halves the work and stays fused on TPU).
+            gate = proposed.primal_flag()
+            winner = proposed.unmask(default=old_value)
+            discard = old_choices.mask(gate)
+            retdiff = Diff.unknown_change(winner)
+        else:
+            winner = proposed
+            discard = old_choices
+            retdiff = Diff.unknown_change(winner)
 
-                def _retained(key, _, old_value):
-                    fwd = self.estimate_logpdf(key, old_value, *primals)
-                    return (old_value, fwd - trace.get_score(), fwd)
-
-                flag = masked_value.primal_flag()
-                new_value = masked_value.value
-                old_choices = trace.get_choices()
-                old_value = old_choices.get_value()
-                new_value, w, score = FlagOp.cond(
-                    flag, _constrained, _retained, key, new_value, old_value
-                )
-                return (
-                    DistributionTrace(self, primals, new_value, score),
-                    w,
-                    Diff.unknown_change(new_value),
-                    Update(old_choices.mask(flag)),
-                )
-            case None:
-                # Retained value, possibly-changed args: w = P'(v) - P(v).
-                v = trace.get_choices().get_value()
-                fwd = self.estimate_logpdf(key, v, *primals)
-                w = fwd - trace.get_score()
-                new_tr = DistributionTrace(self, primals, v, fwd)
-                return (new_tr, w, Diff.no_change(v), Update(ChoiceMap.empty()))
-            case v:
-                # Constrained to new value: w = P'(v') - P(v); discard old.
-                fwd = self.estimate_logpdf(key, v, *primals)
-                w = fwd - trace.get_score()
-                new_tr = DistributionTrace(self, primals, v, fwd)
-                discard = trace.get_choices()
-                return (new_tr, w, Diff.unknown_change(v), Update(discard))
+        rescored = self.estimate_logpdf(key, winner, *new_args)
+        weight = rescored - trace.get_score()
+        new_trace = DistributionTrace(self, new_args, winner, rescored)
+        return new_trace, weight, retdiff, Update(discard)
 
     def edit_regenerate(
         self,
@@ -175,60 +166,59 @@ class Distribution(Generic[R], GenerativeFunction[R]):
     ) -> tuple[Trace[R], Weight, Retdiff, EditRequest]:
         # `selection.check()` may be a traced flag (MaskedSel); don't force
         # it through Python bool (`in` would).
-        check = selection.check()
-        primals = Diff.tree_primal(argdiffs)
-        if FlagOp.concrete_true(check):
-            # Resample from the prior under new args: weight cancels except
-            # for the old score.
-            w, new_v = self.random_weighted(key, *primals)
-            incremental_w = w - trace.get_score()
-            old_v = trace.get_retval()
-            new_trace = DistributionTrace(self, primals, new_v, w)
+        selected = selection.check()
+        new_args = Diff.tree_primal(argdiffs)
+        prior_score = trace.get_score()
+        held = trace.get_retval()
+
+        if FlagOp.concrete_true(selected):
+            # Statically selected: draw fresh under the new args. The
+            # proposal and prior densities at the fresh draw cancel in the
+            # SMCP3 weight, leaving only the retired score.
+            fresh_score, fresh = self.random_weighted(key, *new_args)
             return (
-                new_trace,
-                incremental_w,
-                Diff.unknown_change(new_v),
-                Update(ChoiceMap.choice(old_v)),
+                DistributionTrace(self, new_args, fresh, fresh_score),
+                fresh_score - prior_score,
+                Diff.unknown_change(fresh),
+                Update(ChoiceMap.choice(held)),
             )
-        elif FlagOp.concrete_false(check):
+
+        if FlagOp.concrete_false(selected):
+            # Statically unselected: the value survives; only an argument
+            # change can move its score.
             if Diff.static_check_no_change(argdiffs):
                 return (
                     trace,
                     jnp.zeros(()),
-                    Diff.no_change(trace.get_retval()),
+                    Diff.no_change(held),
                     Update(ChoiceMap.empty()),
                 )
-            chm = trace.get_choices()
-            new_score, _ = self.assess(chm, primals)
-            new_trace = DistributionTrace(self, primals, chm.get_value(), new_score)
+            rescored, _ = self.assess(trace.get_choices(), new_args)
             return (
-                new_trace,
-                new_score - trace.get_score(),
-                Diff.no_change(trace.get_retval()),
+                DistributionTrace(self, new_args, held, rescored),
+                rescored - prior_score,
+                Diff.no_change(held),
                 Update(ChoiceMap.empty()),
             )
-        else:
-            # Traced selection check (e.g. a per-index selection sliced
-            # inside `lax.scan`/`vmap`): compute both outcomes and select
-            # densely — the TPU-friendly realization (no host control
-            # flow; XLA fuses the select into the density pass).
-            old_v = trace.get_retval()
 
-            def _resample(key):
-                w, new_v = self.random_weighted(key, *primals)
-                return new_v, w
+        # Runtime-valued selection (e.g. a per-index selection sliced
+        # inside `lax.scan`/`vmap`): compute both outcomes and select
+        # densely — the TPU-friendly realization (no host control flow;
+        # XLA fuses the select into the density pass).
+        def when_selected(k):
+            s, v = self.random_weighted(k, *new_args)
+            return v, s
 
-            def _keep(key):
-                return old_v, self.estimate_logpdf(key, old_v, *primals)
+        def when_kept(k):
+            return held, self.estimate_logpdf(k, held, *new_args)
 
-            new_v, new_score = FlagOp.cond(check, _resample, _keep, key)
-            new_trace = DistributionTrace(self, primals, new_v, new_score)
-            return (
-                new_trace,
-                new_score - trace.get_score(),
-                Diff.unknown_change(new_v),
-                Update(ChoiceMap.choice(old_v).mask(check)),
-            )
+        value, score = FlagOp.cond(selected, when_selected, when_kept, key)
+        return (
+            DistributionTrace(self, new_args, value, score),
+            score - prior_score,
+            Diff.unknown_change(value),
+            Update(ChoiceMap.choice(held).mask(selected)),
+        )
 
     def edit(
         self,
@@ -276,36 +266,20 @@ class ExactDensity(Generic[R], Distribution[R]):
         return w
 
     def assess(self, sample: ChoiceMap, args: tuple) -> tuple[Weight, R]:
-        key = jax.random.key(0)
-        v = sample.get_value()
-        match v:
-            case Mask(value, flag):
-
-                def _check():
-                    checkify.check(
-                        jnp.all(flag if not isinstance(flag, Diff) else flag.primal),
-                        "Attempted to unmask when a mask flag is False: the "
-                        "masked value is invalid.\n",
-                    )
-
-                optional_check(_check)
-                w = self.estimate_logpdf(key, value, *args)
-                return w, value
-            case _:
-                w = self.estimate_logpdf(key, v, *args)
-                return w, v
+        held = sample.get_value()
+        if isinstance(held, Mask):
+            # Unmask with the checkify-gated validity check (flags are only
+            # inspected inside `do_checkify()`).
+            held = held.unmask()
+        density = self.estimate_logpdf(jax.random.key(0), held, *args)
+        return density, held
 
 
 def canonicalize_distribution_name(s: str) -> str:
-    t = []
-    for c in s:
-        if c.isupper():
-            if t:
-                t.append("_")
-            t.append(c.lower())
-        else:
-            t.append(c)
-    return "genjax_tpu." + "".join(t)
+    """snake_case the name and prefix the package, for rendered type names."""
+    import re
+
+    return "genjax_tpu." + re.sub(r"(?<=[a-z0-9])(?=[A-Z])", "_", s).lower()
 
 
 def exact_density(
@@ -330,25 +304,33 @@ def exact_density(
     True
     """
     if name is None:
-        warnings.warn("You should supply a name argument to exact_density")
-        name = "unknown"
+        warnings.warn(
+            "exact_density: pass `name=` so traces and rendered types carry "
+            "a useful label."
+        )
+        name = "anonymous"
 
-    def kwargle(f, a0, args, kwargs):
-        # Kwargs reach distributions as an `(args, kwargs)` package when the
-        # caller used keyword syntax; unpack transparently.
-        if len(args) == 2 and isinstance(args[1], dict):
-            return f(a0, *args[0], **args[1])
-        return f(a0, *args, **kwargs)
+    def splat(fn, head, rest: tuple, kw: dict):
+        # Calls made with keyword syntax arrive as a packed
+        # `(positional_tuple, kwargs_dict)` pair; unpack it transparently,
+        # otherwise forward as-is.
+        packed = not kw and len(rest) == 2 and isinstance(rest[1], dict)
+        if packed:
+            positional, keywords = rest
+            return fn(head, *positional, **keywords)
+        return fn(head, *rest, **kw)
 
-    T = type(
-        canonicalize_distribution_name(name),
-        (ExactDensity,),
-        {
-            "sample": lambda self, key, *args, **kwargs: kwargle(
-                sample, key, args, kwargs
-            ),
-            "logpdf": lambda self, v, *args, **kwargs: kwargle(logpdf, v, args, kwargs),
-            "handle_kwargs": lambda self: self,
-        },
-    )
-    return Pytree.dataclass(T)()
+    class _SyntheticDensity(ExactDensity):
+        def sample(self, key, *args, **kwargs):
+            return splat(sample, key, args, kwargs)
+
+        def logpdf(self, v, *args, **kwargs):
+            return splat(logpdf, v, args, kwargs)
+
+        def handle_kwargs(self):
+            return self
+
+    label = canonicalize_distribution_name(name)
+    _SyntheticDensity.__name__ = label
+    _SyntheticDensity.__qualname__ = label
+    return Pytree.dataclass(_SyntheticDensity)()

@@ -1,7 +1,11 @@
 """GenSP core: `Target`, `Algorithm`, `Marginal` — stochastic probability
 interfaces for inference.
 
-Capability parity with reference `_src/inference/sp.py:53-273`.
+Capability parity with reference `_src/inference/sp.py:53-273` (independent
+implementation from the GenSP/RAVI semantics: a `Target` is an unnormalized
+posterior; an `Algorithm` is a sample distribution over its latents with
+unbiased density estimates; `Marginal` closes a generative function over a
+selection of kept addresses).
 """
 
 from typing import Any, Callable, Generic, TypeVar
@@ -45,15 +49,25 @@ class Target(Generic[R], Pytree):
 
     def __post_init__(self):
         if isinstance(self.p, Marginal):
-            raise TypeError("Target does not support Marginal generative functions.")
+            raise TypeError(
+                "A Target's model may not itself be a Marginal; marginalize "
+                "inside the model instead."
+            )
 
-    def importance(self, key: PRNGKey, constraint: ChoiceMap) -> tuple[Trace[R], Weight]:
-        merged = self.constraint.merge(constraint)
-        return self.p.importance(key, merged, self.args)
+    def latent_selection(self) -> Selection:
+        """The selection addressing everything the constraint does NOT pin."""
+        return ~self.constraint.get_selection()
+
+    def importance(
+        self, key: PRNGKey, constraint: ChoiceMap
+    ) -> tuple[Trace[R], Weight]:
+        """Generate a trace of `p` consistent with both the target's own
+        observations and the caller's extra `constraint` (proposed latents
+        take priority over nothing — observations always win on overlap)."""
+        return self.p.importance(key, self.constraint | constraint, self.args)
 
     def filter_to_unconstrained(self, choice_map: ChoiceMap) -> ChoiceMap:
-        selection = ~self.constraint.get_selection()
-        return choice_map.filter(selection)
+        return choice_map.filter(self.latent_selection())
 
     def __getitem__(self, addr):
         return self.constraint[addr]
@@ -79,11 +93,17 @@ class Algorithm(Generic[R], SampleDistribution):
         """Unbiased density estimate at `v` (Defn 3.1, Lew et al 2023)."""
         raise NotImplementedError
 
-    def estimate_normalizing_constant(self, key: PRNGKey, target: "Target[R]") -> Weight:
+    def estimate_normalizing_constant(
+        self, key: PRNGKey, target: "Target[R]"
+    ) -> Weight:
         raise NotImplementedError
 
     def estimate_reciprocal_normalizing_constant(
-        self, key: PRNGKey, target: "Target[R]", latent_choices: ChoiceMap, w: Weight
+        self,
+        key: PRNGKey,
+        target: "Target[R]",
+        latent_choices: ChoiceMap,
+        w: Weight,
     ) -> Weight:
         raise NotImplementedError
 
@@ -99,33 +119,38 @@ class Marginal(Generic[R], SampleDistribution):
     algorithm: Any = Pytree.field(default=None)
 
     def random_weighted(self, key: PRNGKey, *args) -> tuple[Score, ChoiceMap]:
-        key, sub_key = jax.random.split(key)
-        tr = self.gen_fn.simulate(sub_key, args)
-        choices = tr.get_choices()
-        latent_choices = choices.filter(self.selection)
-        key, sub_key = jax.random.split(key)
-        # Unbiased density estimate of the marginal at the selected
-        # choices: full score minus the marginalized addresses' internal-
-        # proposal density. (With `selection = all` this is exactly the
-        # trace score — required for e.g. ELBO guides to carry their
-        # entropy term.)
-        weight = tr.get_score() - tr.project(sub_key, ~self.selection)
+        k_sim, k_proj, k_alg = jax.random.split(key, 3)
+        dropped = ~self.selection
+
+        tr = self.gen_fn.simulate(k_sim, args)
+        kept_choices = tr.get_choices().filter(self.selection)
+        # Naive (algorithm-free) marginal density estimate at the kept
+        # choices: the full joint score with the dropped addresses'
+        # internal-proposal density divided out. When `selection` is `all`
+        # this reduces to the trace score itself — which is what lets ELBO
+        # guides carry their entropy term.
+        naive = tr.get_score() - tr.project(k_proj, dropped)
         if self.algorithm is None:
-            return weight, latent_choices
-        target = Target(self.gen_fn, args, latent_choices)
-        other_choices = choices.filter(~self.selection)
-        Z = self.algorithm.estimate_reciprocal_normalizing_constant(
-            key, target, other_choices, weight
+            return naive, kept_choices
+
+        # With a user algorithm: hand it the dropped choices and the naive
+        # estimate and let it produce a lower-variance reciprocal estimate
+        # of the normalizing constant of p(dropped | kept).
+        sub_target = Target(self.gen_fn, args, kept_choices)
+        dropped_choices = tr.get_choices().filter(dropped)
+        est = self.algorithm.estimate_reciprocal_normalizing_constant(
+            k_alg, sub_target, dropped_choices, naive
         )
-        return (Z, latent_choices)
+        return est, kept_choices
 
     def estimate_logpdf(self, key: PRNGKey, v: ChoiceMap, *args) -> Score:
-        if self.algorithm is None:
-            _, weight = self.gen_fn.importance(key, v, args)
-            return weight
-        target = Target(self.gen_fn, args, v)
-        Z = self.algorithm.estimate_normalizing_constant(key, target)
-        return Z
+        if self.algorithm is not None:
+            return self.algorithm.estimate_normalizing_constant(
+                key, Target(self.gen_fn, args, v)
+            )
+        # Single-sample importance estimate of the marginal density.
+        _, w = self.gen_fn.importance(key, v, args)
+        return w
 
 
 def marginal(
@@ -135,9 +160,9 @@ def marginal(
 ) -> Callable[[GenerativeFunction[R]], Marginal[R]]:
     """Decorator: turn a generative function into a `Marginal` sample
     distribution over the selected addresses."""
-    selection = Selection.all() if selection is None else selection
+    sel = Selection.all() if selection is None else selection
 
     def decorator(gen_fn: GenerativeFunction[R]) -> Marginal[R]:
-        return Marginal(gen_fn, selection, algorithm)
+        return Marginal(gen_fn, sel, algorithm)
 
     return decorator

@@ -199,7 +199,13 @@ class TemperedSMC(Generic[R], Pytree):
             (trs, logliks, lw0, jnp.float32(0.0)),
             (self.betas[:-1], self.betas[1:], step_keys),
         )
-        return ParticleCollection(particles, lw, jnp.array(True)), log_z
+        # Encode the evidence in the returned weights (lw is normalized, so
+        # shifting by log_z + log K makes logsumexp(w) - log K == log_z):
+        # the standard ParticleCollection.get_log_marginal_likelihood_estimate
+        # accessor then agrees with the returned log_z instead of reporting
+        # a data-independent -log K.
+        out_lw = lw + log_z + jnp.log(float(self.n_particles))
+        return ParticleCollection(particles, out_lw, jnp.array(True)), log_z
 
     def run_adaptive(
         self,
@@ -331,4 +337,7 @@ class TemperedSMC(Generic[R], Pytree):
             (trs, logliks, lw0, jnp.float32(0.0), jnp.float32(0.0)),
             (jax.random.split(k_ladder, n_steps), is_last),
         )
-        return ParticleCollection(particles, lw, jnp.array(True)), log_z, betas
+        # As in `run`: carry the evidence in the weights so the standard
+        # LML accessor reports log_z.
+        out_lw = lw + log_z + jnp.log(float(self.n_particles))
+        return ParticleCollection(particles, out_lw, jnp.array(True)), log_z, betas

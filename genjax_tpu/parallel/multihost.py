@@ -45,6 +45,14 @@ def initialize_multihost(
     every `parallel/` API works unchanged on the local mesh).
     """
     if coordinator_address is None and num_processes is None:
+        if process_id is not None:
+            # A lone process_id is a misconfigured explicit launch, not a
+            # query — silently ignoring it would mask the launcher bug.
+            raise ValueError(
+                "initialize_multihost: process_id was given without "
+                "coordinator_address/num_processes. Pass all three for an "
+                "explicit setup, or none to query an auto-detected runtime."
+            )
         # Nothing requested explicitly: report whether a launcher already
         # set the distributed runtime up. (Safe to query the backend here
         # — there is nothing left for this call to initialize.)
@@ -83,13 +91,38 @@ def hybrid_mesh(
     if jax.process_count() > 1:
         from jax.experimental import mesh_utils
 
+        # Shapes for create_hybrid_device_mesh are PER-GRANULE (ICI) and
+        # ACROSS-GRANULE (DCN); the realized mesh is their elementwise
+        # product. Islands ride DCN and may subdivide a granule; particles
+        # must never cross DCN.
+        granules = jax.process_count()
+        per_granule = n // granules
         if island_devices is None:
-            island_devices = jax.process_count()
-        if particle_devices is None:
-            particle_devices = n // island_devices
+            island_devices = granules
+        if island_devices % granules != 0:
+            raise ValueError(
+                f"hybrid_mesh: island_devices={island_devices} must be a "
+                f"multiple of the process/granule count ({granules}) — "
+                f"fewer islands than granules would force the particle "
+                f"axis across DCN."
+            )
+        islands_per_granule = island_devices // granules
+        if per_granule % islands_per_granule != 0:
+            raise ValueError(
+                f"hybrid_mesh: islands-per-granule ({islands_per_granule}) "
+                f"must divide the local device count ({per_granule})."
+            )
+        derived_particles = per_granule // islands_per_granule
+        if particle_devices is not None and particle_devices != derived_particles:
+            raise ValueError(
+                f"hybrid_mesh: particle_devices={particle_devices} is "
+                f"inconsistent with island_devices={island_devices} over "
+                f"{n} devices in {granules} granules (expected "
+                f"{derived_particles})."
+            )
         devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, particle_devices),
-            dcn_mesh_shape=(island_devices, 1),
+            mesh_shape=(islands_per_granule, derived_particles),
+            dcn_mesh_shape=(granules, 1),
             devices=jax.devices(),
         )
         return Mesh(devices, (island_axis, particle_axis))

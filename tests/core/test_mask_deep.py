@@ -35,7 +35,7 @@ class TestConstruction:
     def test_build_under_vmap_validates_prefix(self):
         # A (2,1)-shaped flag against scalar-per-lane values must fail
         # inside each vmap lane: lane flag shape (1,) is not a prefix of ().
-        with pytest.raises(ValueError, match="prefix of all leaf shapes"):
+        with pytest.raises(ValueError, match="does not cover the leading axes"):
             jax.vmap(Mask.build)(
                 jnp.arange(2), jnp.array([[True], [False]], dtype=bool)
             )
@@ -53,7 +53,7 @@ class TestConstruction:
 
     def test_build_nonscalar_flag_shape_mismatch(self):
         v_mask = jax.vmap(Mask.build)(jnp.arange(10), jnp.ones(10, dtype=bool))
-        with pytest.raises(AssertionError, match="non-matching Flag shapes"):
+        with pytest.raises(AssertionError, match="shapes must agree"):
             Mask.build(v_mask, jnp.array([False, True]))
 
     def test_vector_flag_against_pytree_leaves(self):
@@ -63,7 +63,7 @@ class TestConstruction:
         assert jnp.array_equal(m.primal_flag(), jnp.zeros(3, dtype=bool))
         # A leading dim that disagrees on one leaf is rejected.
         bad = {"a": jnp.ones((3, 2)), "b": jnp.ones((4, 2))}
-        with pytest.raises(ValueError, match="prefix of all leaf shapes"):
+        with pytest.raises(ValueError, match="does not cover the leading axes"):
             Mask(bad, jnp.zeros(3, dtype=bool))
 
     def test_maybe_mask_none_value_survives(self):
@@ -153,11 +153,11 @@ class TestOrXorTables:
         assert (m5 ^ m6).primal_flag() is False
 
     def test_mixed_scalar_array_shape_rejected(self):
-        with pytest.raises(ValueError, match="different array shapes"):
+        with pytest.raises(ValueError, match="matching leaf shapes"):
             Mask(jnp.asarray(1.0), True) | Mask(jnp.ones((2, 2)), True)
         # Vectorized value with scalar flag cannot combine with
         # vectorized-flag mask of the same value shape.
-        with pytest.raises(ValueError, match="different array shapes"):
+        with pytest.raises(ValueError, match="matching leaf shapes"):
             Mask(jnp.ones(2), jnp.array([True, False])) | Mask(
                 jnp.ones((2, 2)), jnp.array(True)
             )

@@ -23,6 +23,24 @@ EXACT_LML = -0.25 - 0.5 * jnp.log(2 * jnp.pi * 2.0)
 
 
 class TestTemperedConjugate:
+    def test_collection_lml_accessor_matches_log_z(self):
+        # The returned collection's weights must encode the evidence so the
+        # standard accessor reports log_z, not the normalized-weight
+        # constant -log K (round-2 advisor finding).
+        smc = TemperedSMC(
+            n_particles=256,
+            betas=jnp.linspace(0.0, 1.0, 6),
+            request=Regenerate(Selection.at["mu"]),
+        )
+        coll, log_z = jax.jit(smc.run)(jax.random.key(3), TARGET)
+        acc = coll.get_log_marginal_likelihood_estimate()
+        assert jnp.allclose(acc, log_z, atol=1e-5)
+        coll2, log_z2, _ = jax.jit(
+            lambda k: smc.run_adaptive(k, TARGET, n_steps=8)
+        )(jax.random.key(4))
+        acc2 = coll2.get_log_marginal_likelihood_estimate()
+        assert jnp.allclose(acc2, log_z2, atol=1e-5)
+
     def test_log_z_unbiased(self):
         smc = TemperedSMC(
             n_particles=512,
