@@ -218,25 +218,9 @@ class Dual(Pytree):
 ###############################
 
 
-class _Env:
-    """Jaxpr var -> value store."""
-
-    def __init__(self, parent: dict | None = None):
-        self.env: dict = dict(parent) if parent else {}
-
-    def read(self, var):
-        from jax.extend.core import Literal
-
-        if isinstance(var, Literal):
-            return var.val
-        return self.env[id(var)]
-
-    def write(self, var, val):
-        self.env[id(var)] = val
-        return val
-
-    def copy(self):
-        return _Env(self.env)
+# The jaxpr var -> value store shared with other custom interpreters
+# (C5; reference `interpreters/environment.py`).
+from genjax_tpu.core.environment import Environment as _Env
 
 
 def _flat_unzip(duals):

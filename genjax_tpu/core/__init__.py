@@ -34,10 +34,12 @@ from genjax_tpu.core.gfi import (
 )
 from genjax_tpu.core.mask import Mask
 from genjax_tpu.core.pytree import Closure, Const, Pytree, PythonicPytree, nth
+from genjax_tpu.core.primitives import InitialStylePrimitive, initial_style_bind
 from genjax_tpu.core.requests import DiffAnnotate, EmptyRequest, Regenerate
 from genjax_tpu.core.staging import (
     FlagOp,
     empty_trace,
+    get_shaped_aval,
     multi_switch,
     stage,
     to_shape_fn,
@@ -63,6 +65,9 @@ __all__ = [
     "GenerativeFunction",
     "GenerativeFunctionClosure",
     "IgnoreKwargs",
+    "InitialStylePrimitive",
+    "initial_style_bind",
+    "get_shaped_aval",
     "IndexRequest",
     "Mask",
     "NoChange",

@@ -178,10 +178,19 @@ class Selection(Pytree):
     # -- combinators ---------------------------------------------------------
 
     def __or__(self, other: "Selection") -> "Selection":
+        self._check_operand(other, "Selection.__or__")
         return OrSel.build(self, other)
 
     def __and__(self, other: "Selection") -> "Selection":
+        self._check_operand(other, "Selection.__and__")
         return AndSel.build(self, other)
+
+    @staticmethod
+    def _check_operand(other, where: str) -> None:
+        from genjax_tpu.core import checked
+
+        if checked.is_checked():
+            checked.check_selection(other, where)
 
     def __invert__(self) -> "Selection":
         return ComplementSel.build(self)
@@ -190,6 +199,10 @@ class Selection(Pytree):
         return ~self
 
     def filter(self, sample: "ChoiceMap") -> "ChoiceMap":
+        from genjax_tpu.core import checked
+
+        if checked.is_checked():
+            checked.check_choice_map(sample, "Selection.filter", what="sample")
         return sample.filter(self)
 
     def extend(self, *addrs: ExtendedStaticAddressComponent) -> "Selection":
@@ -568,6 +581,17 @@ class ChoiceMap(Pytree):
     def filter(self, selection: "Selection | Flag") -> "ChoiceMap":
         raise NotImplementedError
 
+    def _check_filter_arg(self, selection) -> None:
+        from genjax_tpu.core import checked
+
+        if checked.is_checked() and not isinstance(
+            selection, (Selection, bool)
+        ) and not hasattr(selection, "dtype"):
+            raise TypeError(
+                "ChoiceMap.filter expects a Selection (Selection.at['x']) "
+                f"or a Boolean flag; got {type(selection).__name__}."
+            )
+
     def get_value(self) -> Any:
         raise NotImplementedError
 
@@ -634,6 +658,7 @@ class ChoiceMap(Pytree):
     # -- combinators ---------------------------------------------------------------
 
     def mask(self, flag: Flag) -> "ChoiceMap":
+        self._check_filter_arg(flag)
         return self.filter(flag)
 
     def extend(self, *addrs: AddressComponent) -> "ChoiceMap":
@@ -658,6 +683,10 @@ class ChoiceMap(Pytree):
     # -- dunders ------------------------------------------------------------------
 
     def __or__(self, other: "ChoiceMap") -> "ChoiceMap":
+        from genjax_tpu.core import checked
+
+        if checked.is_checked():
+            checked.check_choice_map(other, "ChoiceMap.__or__", what="other")
         return Or.build(self, other)
 
     def __xor__(self, other: "ChoiceMap") -> "ChoiceMap":
@@ -697,10 +726,16 @@ class ChoiceMap(Pytree):
 def _index_leaves(chm: ChoiceMap, idx) -> ChoiceMap:
     """Index every leaf array of a choice map along its leading axis,
     treating embedded `Mask`s as leaves so their flag/value pair is indexed
-    coherently (the flag spans the same leading axis)."""
-    return jtu.tree_map(
-        lambda leaf: leaf[idx], chm, is_leaf=lambda x: isinstance(x, Mask)
-    )
+    coherently (the flag spans the same leading axis). Leaves with no
+    leading axis (scalars) pass through unchanged — they are shared
+    across the indexed axis (the shared-args layout, ARCHITECTURE.md 4b)."""
+
+    def pick(leaf):
+        if isinstance(leaf, Mask) or jnp.ndim(leaf) >= 1:
+            return leaf[idx]
+        return leaf
+
+    return jtu.tree_map(pick, chm, is_leaf=lambda x: isinstance(x, Mask))
 
 
 @Pytree.dataclass(match_args=True)

@@ -1,8 +1,8 @@
 """`Environment`: a jaxpr var -> value store for custom interpreters
 (reference `_src/core/compiler/interpreters/environment.py:24-81`).
 
-Only the ADEV transform interprets jaxprs in this framework; this class
-is exported for users building their own interpreters."""
+Used by the ADEV CPS interpreter (`adev/core.py`) and exported for users
+building their own interpreters."""
 
 from typing import Any
 

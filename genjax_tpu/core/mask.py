@@ -159,7 +159,12 @@ class Mask(Generic[R], Pytree):
             # The flag only spans leading axes; consume the matching prefix
             # of the path and leave the rest to the value leaves.
             flag = flag[path[: flag.ndim]]
-        sliced = jtu.tree_map(lambda leaf: leaf[path], self.value)
+        # Scalar leaves have no axis for the path to consume: they are
+        # shared across the indexed axis and pass through unchanged.
+        sliced = jtu.tree_map(
+            lambda leaf: leaf[path] if jnp.ndim(leaf) >= 1 else leaf,
+            self.value,
+        )
         if isinstance(self.flag, Diff):
             flag = Diff(flag, self.flag.tangent)
         return Mask.build(sliced, flag)

@@ -53,6 +53,11 @@ class Target(Generic[R], Pytree):
                 "A Target's model may not itself be a Marginal; marginalize "
                 "inside the model instead."
             )
+        from genjax_tpu.core import checked
+
+        if checked.is_checked():
+            checked.check_args(self.args, "Target")
+            checked.check_choice_map(self.constraint, "Target", what="constraint")
 
     def latent_selection(self) -> Selection:
         """The selection addressing everything the constraint does NOT pin."""

@@ -70,3 +70,56 @@ class TestCheckedMode:
         with checked_mode():
             f = jax.jit(lambda k: _model.simulate(k, (0.0,)).get_score())
             assert jnp.isfinite(f(jax.random.key(0)))
+
+
+class TestConstructorValidation:
+    """Round-3 extension (VERDICT r2 item 6): typed errors for malformed
+    inputs to the most-used constructors/combinators, under the gate."""
+
+    def test_target_args_must_be_tuple(self):
+        from genjax_tpu.inference import Target
+
+        with checked_mode():
+            with pytest.raises(TypeError, match="TUPLE"):
+                Target(_model, 0.0, ChoiceMap.kw(x=1.0))
+
+    def test_target_constraint_must_be_choice_map(self):
+        from genjax_tpu.inference import Target
+
+        with checked_mode():
+            with pytest.raises(TypeError, match="ChoiceMap"):
+                Target(_model, (0.0,), {"x": 1.0})
+
+    def test_filter_rejects_non_selection(self):
+        chm = ChoiceMap.kw(x=1.0)
+        with checked_mode():
+            with pytest.raises(TypeError, match="Selection"):
+                chm.mask("x")
+
+    def test_merge_rejects_dict(self):
+        chm = ChoiceMap.kw(x=1.0)
+        with checked_mode():
+            with pytest.raises(TypeError, match="ChoiceMap"):
+                chm | {"y": 2.0}
+
+    def test_selection_operand_types(self):
+        from genjax_tpu import SelectionBuilder as S
+
+        with checked_mode():
+            with pytest.raises(TypeError, match="Selection"):
+                S["x"] | "y"
+            with pytest.raises(TypeError, match="Selection"):
+                S["x"] & "y"
+
+    def test_selection_filter_rejects_dict(self):
+        from genjax_tpu import SelectionBuilder as S
+
+        with checked_mode():
+            with pytest.raises(TypeError, match="ChoiceMap"):
+                S["x"].filter({"x": 1.0})
+
+    def test_unchecked_stays_permissive(self):
+        # Outside checked mode nothing new is validated (zero-cost default).
+        chm = ChoiceMap.kw(x=1.0)
+        kept = chm.filter(gx.Selection.at["x"])
+        assert "x" in kept
