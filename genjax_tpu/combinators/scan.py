@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
 
+from genjax_tpu.core.checkify import optional_check
 from genjax_tpu.core.choice_map import Address, ChoiceMap, Selection
 from genjax_tpu.core.concepts import (
     Argdiffs,
@@ -270,9 +271,11 @@ class Scan(Generic[Carry, Y], GenerativeFunction[tuple[Carry, Y]]):
         Soundness requires the kernel's carry-out at step `idx+1` to be
         unaffected by its carry-in (e.g. the carry is resampled per step
         under the constraint) — the same structural condition the
-        reference asserts statically (`scan.py:325-416`). Here the edit is
-        dense and the condition is the user's responsibility (use the
-        re-scan `Update` edit when unsure).
+        reference asserts statically (`scan.py:325-416`). The condition is
+        validated at runtime inside `do_checkify()` (the revisited step's
+        carry-out is compared against the original carry chain); outside
+        checkify it remains the user's responsibility — use the re-scan
+        `Update` edit when unsure.
         """
         assert Diff.static_check_no_change(argdiffs)
         primals = Diff.tree_primal(argdiffs)
@@ -310,6 +313,39 @@ class Scan(Generic[Carry, Y], GenerativeFunction[tuple[Carry, Y]]):
         scores = jax.vmap(lambda t: t.get_score())(new_inner)
         idx_array = jnp.arange(max_length)
         (_next_c_out, next_y) = Diff.tree_primal(next_rd)
+
+        def _carry_stability_check():
+            # An O(1) edit is sound only if the revisited step's carry-out
+            # is what it always was — otherwise the change propagates into
+            # step idx+2 and beyond, which this edit does not touch. The
+            # original carry-out at step `nxt` is step nxt+1's carry-in
+            # (or the final carry when nxt is last).
+            from jax.experimental import checkify
+
+            after = jnp.minimum(nxt + 1, max_length - 1)
+            after_slice = jtu.tree_map(lambda v: v[after], trace.inner)
+            (after_carry_in, _) = after_slice.get_args()
+            old_c_out = jtu.tree_map(
+                lambda nxt_in, final: jnp.where(
+                    nxt + 1 < max_length, nxt_in, final
+                ),
+                after_carry_in,
+                old_c_final,
+            )
+            stable = jnp.asarray(True)
+            for a, b in zip(
+                jtu.tree_leaves(_next_c_out), jtu.tree_leaves(old_c_out)
+            ):
+                stable = stable & jnp.allclose(a, b, rtol=1e-5, atol=1e-6)
+            checkify.check(
+                stable | ~has_next,
+                "Scan.edit_index: the revisited step's carry-out changed — "
+                "this kernel's carry depends on its carry-in, so the O(1) "
+                "IndexRequest edit silently corrupts steps beyond idx+1. "
+                "Use the dense re-scan Update/Regenerate edit instead.\n",
+            )
+
+        optional_check(_carry_stability_check)
 
         def scatter_y(old, slice_val, at_idx, active=True):
             mask = ((idx_array == at_idx) & active).reshape(

@@ -8,10 +8,13 @@ which this module replaces on the hot path).
 `jnp.take` on each leaf separately lowers to one scalar-element gather
 per leaf — pathologically slow on TPU (measured 157 ms/iter for nine
 1M-element takes on a v5e). Packing the leaves into one `(N, F)` matrix
-and gathering ROWS lowers to a single coalesced gather: 8.5 ms/iter,
-an 18.6x win. Every resampling path (`ParticleCollection.resample`,
-`ShardedSMC.resample`, `GridSMC.resample`, `BootstrapFilter`) routes
-leaf gathers through `take_rows`.
+and gathering ROWS amortizes the per-index cost across columns:
+8.5 ms/iter, an 18.6x win. Even packed, TPU gathers remain PER-INDEX
+bound (~130M indices/s; `tools/microbench_gather.py`), so the
+systematic-resampling hot paths go further and avoid the gather
+entirely via the streaming expansion in `ops/expand.py`; `take_rows`
+remains the general path (arbitrary/permuted indices, multinomial
+resampling, row lookups).
 """
 
 import jax.numpy as jnp
@@ -81,5 +84,42 @@ def take_rows(tree, idx, n_rows: int | None = None):
         for k, i in enumerate(members):
             segment = gathered[:, offsets[k] : offsets[k + 1]]
             out[i] = jnp.reshape(segment, idx.shape[:1] + leaves[i].shape[1:])
+
+    return jtu.tree_unflatten(treedef, out)
+
+
+def map_packed_rows(tree, fn, n_rows: int):
+    """Apply `fn` to each per-dtype packed `(n_rows, F)` matrix of the
+    tree's leaves and unpack the results back into the tree structure.
+    Leaves whose leading dim is not `n_rows` are shared and pass through
+    (the `take_rows` convention). `fn` must preserve the matrix shape."""
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    import numpy as np
+
+    leaves, treedef = jtu.tree_flatten(tree)
+    out: list = [None] * len(leaves)
+    groups: dict = {}
+    for i, leaf in enumerate(leaves):
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 0 or jnp.shape(leaf)[0] != n_rows:
+            out[i] = leaf
+        elif _packable(leaf):
+            groups.setdefault(jnp.result_type(leaf), []).append(i)
+        else:
+            raise TypeError(f"map_packed_rows: unsupported leaf {type(leaf)}")
+
+    for _dtype, members in groups.items():
+        flats, widths = [], []
+        for i in members:
+            f = jnp.reshape(leaves[i], (n_rows, -1))
+            flats.append(f)
+            widths.append(f.shape[1])
+        packed = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=1)
+        result = fn(packed)
+        offsets = np.concatenate([[0], np.cumsum(widths)])
+        for k, i in enumerate(members):
+            segment = result[:, offsets[k] : offsets[k + 1]]
+            out[i] = jnp.reshape(segment, (n_rows,) + leaves[i].shape[1:])
 
     return jtu.tree_unflatten(treedef, out)

@@ -91,6 +91,14 @@ class BootstrapFilter(Pytree):
 
             def _resample(z, lw, lml):
                 lml = lml + logsumexp(lw) - jnp.log(float(n))
+                if self.resampling == "systematic":
+                    # Streaming expansion: skips both the ancestor
+                    # scatter and the per-index row gather (ops/expand.py).
+                    from genjax_tpu.inference.smc import systematic_cum_counts
+                    from genjax_tpu.ops.expand import expand_rows
+
+                    cum = systematic_cum_counts(k_res, lw, n)
+                    return expand_rows(z, cum, n_rows=n), jnp.zeros_like(lw), lml
                 anc = resampler(k_res, lw, n)
                 return take_rows(z, anc), jnp.zeros_like(lw), lml
 

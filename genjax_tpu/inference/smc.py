@@ -127,6 +127,20 @@ def _sorted_queries_ancestors(cdf: FloatArray, us: FloatArray) -> IntArray:
     return jnp.clip(positions - jnp.arange(n, dtype=jnp.int32), 0, k - 1)
 
 
+def systematic_cum_counts(
+    key: PRNGKey, log_weights: FloatArray, n: int
+) -> IntArray:
+    """The cumulative block counts `N_i` of systematic resampling (output
+    slots [N_{i-1}, N_i) copy particle i), WITHOUT materializing the
+    ancestor vector. Feeds `ops.expand.expand_rows`, which realizes the
+    row copy as streaming passes — the ancestor materialization itself
+    costs a ~7 ms scalar scatter at 1M that this path never pays."""
+    w = jax.nn.softmax(log_weights)
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, (), dtype=w.dtype)
+    return jnp.clip(jnp.floor(n * cdf - u0).astype(jnp.int32) + 1, 0, n)
+
+
 def systematic_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArray:
     """Systematic (low-variance) resampling, search-free.
 
@@ -141,12 +155,8 @@ def systematic_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArr
     random gathers defeat the memory system; this formulation runs in a
     few ms and is exact up to the same f32 boundary rounding.)
     """
-    w = jax.nn.softmax(log_weights)
-    cdf = jnp.cumsum(w)
-    u0 = jax.random.uniform(key, (), dtype=w.dtype)
     # N_i = #output slots with u_s <= cdf_i  (side='right' semantics)
-    n_cum = jnp.clip(jnp.floor(n * cdf - u0).astype(jnp.int32) + 1, 0, n)
-    return _blocks_to_ancestors(n_cum, n)
+    return _blocks_to_ancestors(systematic_cum_counts(key, log_weights, n), n)
 
 
 def stratified_resample(key: PRNGKey, log_weights: FloatArray, n: int) -> IntArray:
@@ -245,13 +255,22 @@ class ParticleCollection(Generic[R], Pytree):
     ) -> "ParticleCollection[R]":
         """Resample the collection to equal weights, preserving the mean
         weight (so LML accumulation telescopes correctly)."""
-        from genjax_tpu.core.gather import take_rows
-
         n = self.log_weights.shape[0]
-        anc = RESAMPLERS[method](key, self.log_weights, n)
-        # One packed row-gather instead of a per-leaf scalar gather
-        # (18.6x at 1M particles; see core/gather.py).
-        new_particles = take_rows(self.particles, anc, n_rows=n)
+        if method == "systematic":
+            # Streaming expansion (ops/expand.py): no ancestor scatter, no
+            # per-index row gather — both are per-index bound on TPU
+            # (~13 ms combined at 1M vs ~4.5 ms streaming).
+            from genjax_tpu.ops.expand import expand_rows
+
+            cum = systematic_cum_counts(key, self.log_weights, n)
+            new_particles = expand_rows(self.particles, cum, n_rows=n)
+        else:
+            from genjax_tpu.core.gather import take_rows
+
+            anc = RESAMPLERS[method](key, self.log_weights, n)
+            # One packed row-gather instead of a per-leaf scalar gather
+            # (18.6x at 1M particles; see core/gather.py).
+            new_particles = take_rows(self.particles, anc, n_rows=n)
         # After resampling, each particle carries the average weight.
         avg_lw = logsumexp(self.log_weights) - jnp.log(n)
         return ParticleCollection(

@@ -7,12 +7,16 @@ Design (new relative to the single-device reference; see SURVEY.md §2.2):
 * Weight reductions (LML, ESS, normalization) run inside `shard_map` as
   per-shard partial reductions + `psum` — one scalar collective each.
 * Systematic resampling: log-weights are tiny relative to particle state,
-  so shards `all_gather` the weight vector (K * 4 bytes over ICI),
-  compute their own slots' ancestors locally (cumsum + searchsorted), and
-  the particle gather itself is expressed as a global take — XLA's SPMD
-  partitioner lowers it to the minimal cross-shard collective. Ancestors
-  of systematic resampling are nearly sorted, so most rows resolve to
-  local copies.
+  so shards `all_gather` the weight vector (K * 4 bytes over ICI) and
+  compute their own slots' ancestors locally. The row exchange rides two
+  neighbor `ppermute`s (`sharded_systematic_exchange`): systematic
+  ancestors are monotone, so each output shard's sources form a
+  contiguous window that stays within adjacent shards at healthy ESS; a
+  psum-agreed fallback all-gathers rows only when far hops are actually
+  needed. On a single shard the exchange reduces to the streaming
+  expansion of `ops/expand.py` (no collectives, no gathers).
+  `tests/parallel/test_hlo_collectives.py` pins all of this in compiled
+  HLO.
 """
 
 from functools import partial
@@ -113,6 +117,78 @@ def sharded_systematic_ancestors(
     return _anc(key, log_weights)
 
 
+def sharded_systematic_exchange(
+    key: PRNGKey,
+    log_weights: FloatArray,
+    packed_rows,
+    mesh: Mesh,
+    axis: str = "particles",
+):
+    """Distributed systematic resampling of a packed (K, F) row matrix.
+
+    Only the K-float weight vector is all-gathered. The row exchange
+    itself rides two neighbor `ppermute`s: systematic ancestors are
+    monotone, so each output shard's sources live in a contiguous global
+    window, and at healthy ESS that window stays within the two adjacent
+    shards. When any shard needs rows from further away (detected with a
+    psum so every shard agrees — collectives must execute uniformly), the
+    program falls back to a full row all-gather for that call only.
+    """
+    n_shards = mesh.shape[axis]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def _exchange(key, lw_local, rows_local):
+        lw = jax.lax.all_gather(lw_local, axis, tiled=True)
+        n = lw.shape[0]
+        per = rows_local.shape[0]
+        shard = jax.lax.axis_index(axis)
+        lo = shard * per
+
+        # Global cumulative block counts (replicated computation).
+        w = jax.nn.softmax(lw)
+        cdf = jnp.cumsum(w)
+        u0 = jax.random.uniform(key, (), dtype=w.dtype)
+        cum = jnp.clip(jnp.floor(n * cdf - u0).astype(jnp.int32) + 1, 0, n)
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
+        occupied = cum > starts
+        # My output slots' global ancestors (scatter block starts landing
+        # in my slot range, fill forward).
+        local_starts = jnp.maximum(starts - lo, 0)
+        in_range = occupied & (starts < lo + per)
+        scatter_idx = jnp.where(in_range, local_starts, per)
+        anc0 = (
+            jnp.zeros((per,), jnp.int32)
+            .at[scatter_idx]
+            .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        )
+        anc_mine = jax.lax.cummax(anc0)
+
+        hops = anc_mine // per - shard
+        n_far = jax.lax.psum(jnp.sum(jnp.abs(hops) > 1), axis)
+
+        def near(rows_local):
+            fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+            bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+            from_left = jax.lax.ppermute(rows_local, axis, fwd)
+            from_right = jax.lax.ppermute(rows_local, axis, bwd)
+            window = jnp.concatenate([from_left, rows_local, from_right], 0)
+            li = jnp.clip(anc_mine - (lo - per), 0, 3 * per - 1)
+            return jnp.take(window, li, axis=0)
+
+        def far(rows_local):
+            everything = jax.lax.all_gather(rows_local, axis, tiled=True)
+            return jnp.take(everything, anc_mine, axis=0)
+
+        return jax.lax.cond(n_far > 0, far, near, rows_local)
+
+    return _exchange(key, log_weights, packed_rows)
+
+
 @Pytree.dataclass
 class ShardedSMC(Generic[R], Pytree):
     """SMC driver whose particle axis is sharded over a device mesh.
@@ -189,18 +265,36 @@ class ShardedSMC(Generic[R], Pytree):
     def resample(
         self, key: PRNGKey, collection: ParticleCollection[R]
     ) -> ParticleCollection[R]:
-        from genjax_tpu.core.gather import take_rows
+        if self.mesh.shape[self.axis] == 1:
+            # Single shard on the particle axis: streaming expansion —
+            # skips the ancestor scatter AND the per-index row gather,
+            # both per-index bound on TPU (ops/expand.py).
+            from genjax_tpu.inference.smc import systematic_cum_counts
+            from genjax_tpu.ops.expand import expand_rows
 
-        anc = sharded_systematic_ancestors(
-            key, collection.get_log_weights(), self.mesh, self.axis
-        )
-        # Global PACKED row-take (core/gather.py): one coalesced gather per
-        # dtype instead of a per-leaf scalar gather; XLA partitions it into
-        # the minimal cross-shard exchange (systematic ancestors are
-        # near-sorted, so most rows stay shard-local).
-        new_particles = take_rows(
-            collection.get_particles(), anc, n_rows=self.n_particles
-        )
+            cum = systematic_cum_counts(
+                key, collection.get_log_weights(), self.n_particles
+            )
+            new_particles = expand_rows(
+                collection.get_particles(), cum, n_rows=self.n_particles
+            )
+        else:
+            from genjax_tpu.core.gather import map_packed_rows
+
+            # Hop-bounded distributed exchange: only the weight vector is
+            # all-gathered; rows ride neighbor ppermutes (with a gated
+            # fallback) — verified by tests/parallel/test_hlo_collectives.
+            new_particles = map_packed_rows(
+                collection.get_particles(),
+                lambda packed: sharded_systematic_exchange(
+                    key,
+                    collection.get_log_weights(),
+                    packed,
+                    self.mesh,
+                    self.axis,
+                ),
+                self.n_particles,
+            )
         avg_lw = self.lml(collection)
         n = self.n_particles
         return ParticleCollection(

@@ -79,3 +79,55 @@ class TestScanEditIndex:
         )
         _, ys = new_tr.get_retval()
         assert jnp.allclose(ys[4], 6.0)  # 2 * z
+
+
+@g.gen
+def accumulating_step(carry, _x):
+    # carry-out = carry-in + z: the carry chain propagates any edit
+    # downstream, so the O(1) IndexRequest edit is UNSOUND here.
+    z = g.normal(0.0, 1.0) @ "z"
+    return carry + z, z
+
+
+class TestCarryStabilityGuard:
+    """Round-3 soundness guard (VERDICT r2 item 5): a carry-unstable
+    kernel must be caught under do_checkify instead of silently
+    corrupting steps beyond idx+1."""
+
+    def test_unstable_kernel_caught(self):
+        import pytest
+
+        from genjax_tpu.checkify import do_checkify
+
+        model = accumulating_step.scan(n=6)
+        tr = model.simulate(jax.random.key(0), (0.0, None))
+        req = IndexRequest(jnp.array(2), Update(ChoiceMap.kw(z=5.0)))
+        with do_checkify():
+            with pytest.raises(Exception, match="carry"):
+                req.edit(jax.random.key(1), tr, Diff.no_change((0.0, None)))
+
+    def test_stable_kernel_passes_checkify(self):
+        from genjax_tpu.checkify import do_checkify
+
+        model = resampled_step.scan(n=6)
+        tr = model.simulate(jax.random.key(0), (0.5, None))
+        req = IndexRequest(jnp.array(2), Update(ChoiceMap.kw(z=5.0)))
+        with do_checkify():
+            new_tr, _, _, _ = req.edit(
+                jax.random.key(1), tr, Diff.no_change((0.5, None))
+            )
+        assert jnp.allclose(new_tr.get_choices()["z"][2], 5.0)
+
+    def test_edit_at_final_step_always_sound(self):
+        from genjax_tpu.checkify import do_checkify
+
+        model = accumulating_step.scan(n=6)
+        tr = model.simulate(jax.random.key(0), (0.0, None))
+        # Editing the LAST step has no downstream carry consumer; the
+        # guard must not fire.
+        req = IndexRequest(jnp.array(5), Update(ChoiceMap.kw(z=5.0)))
+        with do_checkify():
+            new_tr, _, _, _ = req.edit(
+                jax.random.key(1), tr, Diff.no_change((0.0, None))
+            )
+        assert jnp.allclose(new_tr.get_choices()["z"][5], 5.0)

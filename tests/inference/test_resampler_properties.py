@@ -56,3 +56,59 @@ class TestResamplerDistributions:
         w = jax.nn.softmax(lw)
         expected = jnp.sum(N * w * (1 - w))
         assert jnp.allclose(v_mult, expected, rtol=0.25)
+
+
+class TestStreamingExpansionEquivalence:
+    """ops/expand.py must agree exactly with the ancestor-gather
+    formulation for systematic resampling (round-3 perf rewrite)."""
+
+    def test_expand_matches_take_on_collection(self):
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        from genjax_tpu.core.gather import take_rows
+        from genjax_tpu.inference.smc import (
+            systematic_cum_counts,
+            systematic_resample,
+        )
+        from genjax_tpu.ops.expand import expand_rows
+
+        key = jax.random.key(0)
+        n = 512
+        lw = jax.random.normal(jax.random.key(1), (n,)) * 2.0
+        tree = {
+            "x": jax.random.normal(jax.random.key(2), (n,)),
+            "m": jax.random.normal(jax.random.key(3), (n, 3)),
+            "i": jnp.arange(n, dtype=jnp.int32),
+            "shared": jnp.arange(7.0),
+        }
+        anc = systematic_resample(key, lw, n)
+        cum = systematic_cum_counts(key, lw, n)
+        want = take_rows(tree, anc, n_rows=n)
+        got = expand_rows(tree, cum, n_rows=n)
+        for a, b in zip(jtu.tree_leaves(want), jtu.tree_leaves(got)):
+            assert jnp.array_equal(a, b)
+
+    def test_expand_under_jit_and_vmap_batching(self):
+        import jax
+        import jax.numpy as jnp
+
+        from genjax_tpu.inference.smc import (
+            systematic_cum_counts,
+            systematic_resample,
+        )
+        from genjax_tpu.ops.expand import expand_rows
+
+        n = 128
+
+        @jax.jit
+        def run(key, lw, x):
+            cum = systematic_cum_counts(key, lw, n)
+            return expand_rows({"x": x}, cum, n_rows=n)["x"]
+
+        key = jax.random.key(5)
+        lw = jax.random.normal(jax.random.key(6), (n,))
+        x = jnp.arange(float(n))
+        anc = systematic_resample(key, lw, n)
+        assert jnp.array_equal(run(key, lw, x), x[anc])
