@@ -27,9 +27,9 @@ def mix(*gen_fns: GenerativeFunction[R]) -> GenerativeFunction[R]:
 
     branch_switch = switch(*gen_fns)
 
-    def mixture_model(mixture_logits, *args):
-        mix_idx = categorical(logits=mixture_logits) @ "mixture_component"
-        v = branch_switch(mix_idx, *args) @ "component_sample"
+    def mixture_model(logits, *args):
+        component = categorical(logits=logits) @ "mixture_component"
+        v = branch_switch(component, *args) @ "component_sample"
         return v
 
     return gen(mixture_model)
@@ -42,19 +42,19 @@ def or_else(
     """Boolean-gated branch: `(flag, if_args, else_args)` runs `if_gen_fn`
     when the flag is true, `else_gen_fn` otherwise (switch + contramap)."""
 
-    def argument_mapping(b: ScalarFlag, if_args: tuple, else_args: tuple):
-        idx = jnp.array(jnp.logical_not(b), dtype=int)
-        return (idx, if_args, else_args)
+    def argument_mapping(flag: ScalarFlag, if_args: tuple, else_args: tuple):
+        # branch 0 = if, branch 1 = else
+        branch = jnp.where(flag, 0, 1)
+        return (branch, if_args, else_args)
 
     return if_gen_fn.switch(else_gen_fn).contramap(argument_mapping)
 
 
 def RepeatCombinator(gen_fn: GenerativeFunction[R], /, *, n: int):
     """`a -> b` becomes `a -> [b]` via vmap over a dummy index axis."""
-    return (
-        gen_fn.contramap(lambda _idx, args: args)
-        .vmap(in_axes=(0, None))
-        .contramap(lambda *args: (jnp.zeros(n), args))
+    dropped = gen_fn.contramap(lambda _idx, args: args)
+    return dropped.vmap(in_axes=(0, None)).contramap(
+        lambda *args: (jnp.zeros(n), args)
     )
 
 

@@ -16,7 +16,6 @@ values (no branch dispatch, no gather): the left value wins wherever its flag
 is set, and only the flag arithmetic differs between the two operators.
 """
 
-import functools
 from typing import Generic, TypeVar
 
 import jax.numpy as jnp
@@ -147,7 +146,8 @@ class Mask(Generic[R], Pytree):
     def maybe_mask(v: "R | Mask[R]", f: Flag) -> "R | Mask[R] | None":
         """Like `build`, but returns the raw value (concrete True flag) or
         None (concrete False flag) where statically possible."""
-        return Mask.build(v, f).flatten()
+        built = Mask.build(v, f)
+        return built.flatten()
 
     # -- accessors -----------------------------------------------------------
 
@@ -234,8 +234,14 @@ class Mask(Generic[R], Pytree):
 
     @staticmethod
     def or_n(mask: "Mask[R]", *masks: "Mask[R]") -> "Mask[R]":
-        return functools.reduce(lambda a, b: a | b, masks, mask)
+        acc = mask
+        for m in masks:
+            acc = acc | m
+        return acc
 
     @staticmethod
     def xor_n(mask: "Mask[R]", *masks: "Mask[R]") -> "Mask[R]":
-        return functools.reduce(lambda a, b: a ^ b, masks, mask)
+        acc = mask
+        for m in masks:
+            acc = acc ^ m
+        return acc

@@ -12,6 +12,7 @@ import warnings
 from typing import Callable, Generic, TypeVar
 
 import jax
+import jax.tree_util as jtu
 import jax.numpy as jnp
 
 from genjax_tpu.core import checked
@@ -35,6 +36,40 @@ from genjax_tpu.core.typing import PRNGKey
 R = TypeVar("R")
 
 
+def pack_site_args(args: tuple) -> tuple:
+    """Wrap trace-time-literal argument leaves (python scalars) in `Const`.
+
+    Literals like the `(0.0, 1.0)` of `normal(0.0, 1.0)` are static at
+    trace time; storing them as `Const` keeps them in the treedef, so
+    `vmap` does NOT broadcast them into per-particle array columns. At
+    1M particles that removes whole K-float columns from every resample
+    exchange, `where_tree` select, and checkpoint. Traced values (and
+    concrete arrays) stay dynamic leaves untouched."""
+    import jax.tree_util as jtu
+
+    from genjax_tpu.core.pytree import Const
+
+    def wrap(leaf):
+        if isinstance(leaf, (bool, int, float)):
+            return Const(leaf)
+        return leaf
+
+    return jtu.tree_map(wrap, args, is_leaf=lambda x: isinstance(x, Const))
+
+
+def unpack_site_args(args: tuple) -> tuple:
+    """Inverse of `pack_site_args`: unwrap `Const` leaves."""
+    import jax.tree_util as jtu
+
+    from genjax_tpu.core.pytree import Const
+
+    return jtu.tree_map(
+        lambda x: x.unwrap() if isinstance(x, Const) else x,
+        args,
+        is_leaf=lambda x: isinstance(x, Const),
+    )
+
+
 @Pytree.dataclass
 class DistributionTrace(Generic[R], Trace[R]):
     gen_fn: GenerativeFunction[R]
@@ -42,8 +77,14 @@ class DistributionTrace(Generic[R], Trace[R]):
     value: R
     score: Score
 
+    @staticmethod
+    def make(gen_fn, args: tuple, value, score) -> "DistributionTrace":
+        """Build a trace with literal args packed as statics (see
+        `pack_site_args`)."""
+        return DistributionTrace(gen_fn, pack_site_args(args), value, score)
+
     def get_args(self) -> tuple:
-        return self.args
+        return unpack_site_args(self.args)
 
     def get_retval(self) -> R:
         return self.value
@@ -77,7 +118,7 @@ class Distribution(Generic[R], GenerativeFunction[R]):
             checked.check_key(key, f"{type(self).__name__}.simulate")
             checked.check_args(args, f"{type(self).__name__}.simulate")
         (w, v) = self.random_weighted(key, *args)
-        return DistributionTrace(self, args, v, w)
+        return DistributionTrace.make(self, args, v, w)
 
     def generate(
         self, key: PRNGKey, constraint: ChoiceMap, args: tuple
@@ -93,8 +134,13 @@ class Distribution(Generic[R], GenerativeFunction[R]):
         if not isinstance(held, Mask):
             # Fully constrained: the draw IS the constraint; weight is its
             # density (score and weight coincide for a single choice).
+            # Canonicalize to arrays: a python-float constraint must stay a
+            # DYNAMIC value (downstream edits would otherwise freeze it —
+            # and anything derived from it — into the static treedef via
+            # `pack_site_args`).
+            held = jtu.tree_map(jnp.asarray, held)
             density = self.estimate_logpdf(key, held, *args)
-            return DistributionTrace(self, args, held, density), density
+            return DistributionTrace.make(self, args, held, density), density
         # Runtime-gated constraint (a traced Mask flag, e.g. a per-index
         # constraint inside `Vmap`/`Scan`). Dense formulation: run BOTH the
         # fresh draw and the density evaluation, then select — this is what
@@ -107,7 +153,7 @@ class Distribution(Generic[R], GenerativeFunction[R]):
         value = Mask(held.value, flag).unmask(default=fresh_v)
         score = jnp.where(flag, pinned_density, fresh_score)
         weight = jnp.where(flag, pinned_density, jnp.zeros(()))
-        return DistributionTrace(self, args, value, score), weight
+        return DistributionTrace.make(self, args, value, score), weight
 
     def project(
         self, key: PRNGKey, trace: Trace[R], selection: Selection
@@ -152,9 +198,27 @@ class Distribution(Generic[R], GenerativeFunction[R]):
             discard = old_choices
             retdiff = Diff.unknown_change(winner)
 
+        # Canonicalize: constraint values may arrive as python scalars in
+        # eager execution; the stored value (and the retdiff built from
+        # it) must stay dynamic or `pack_site_args` would freeze
+        # downstream consumers of this value into the static treedef.
+        winner = jtu.tree_map(jnp.asarray, winner)
+        retdiff = jtu.tree_map(
+            lambda d: Diff(jnp.asarray(d.primal), d.tangent),
+            retdiff,
+            is_leaf=lambda x: isinstance(x, Diff),
+        )
         rescored = self.estimate_logpdf(key, winner, *new_args)
         weight = rescored - trace.get_score()
-        new_trace = DistributionTrace(self, new_args, winner, rescored)
+        # Keep literal args static through unchanged-arg edits (the
+        # common rejuvenation case) so the packing survives edit chains.
+        stored = (
+            trace.args
+            if isinstance(trace, DistributionTrace)
+            and Diff.static_check_no_change(argdiffs)
+            else pack_site_args(new_args)
+        )
+        new_trace = DistributionTrace(self, stored, winner, rescored)
         return new_trace, weight, retdiff, Update(discard)
 
     def edit_regenerate(
@@ -176,8 +240,14 @@ class Distribution(Generic[R], GenerativeFunction[R]):
             # proposal and prior densities at the fresh draw cancel in the
             # SMCP3 weight, leaving only the retired score.
             fresh_score, fresh = self.random_weighted(key, *new_args)
+            stored = (
+                trace.args
+                if isinstance(trace, DistributionTrace)
+                and Diff.static_check_no_change(argdiffs)
+                else pack_site_args(new_args)
+            )
             return (
-                DistributionTrace(self, new_args, fresh, fresh_score),
+                DistributionTrace(self, stored, fresh, fresh_score),
                 fresh_score - prior_score,
                 Diff.unknown_change(fresh),
                 Update(ChoiceMap.choice(held)),
@@ -195,7 +265,7 @@ class Distribution(Generic[R], GenerativeFunction[R]):
                 )
             rescored, _ = self.assess(trace.get_choices(), new_args)
             return (
-                DistributionTrace(self, new_args, held, rescored),
+                DistributionTrace(self, pack_site_args(new_args), held, rescored),
                 rescored - prior_score,
                 Diff.no_change(held),
                 Update(ChoiceMap.empty()),
@@ -213,8 +283,14 @@ class Distribution(Generic[R], GenerativeFunction[R]):
             return held, self.estimate_logpdf(k, held, *new_args)
 
         value, score = FlagOp.cond(selected, when_selected, when_kept, key)
+        stored = (
+            trace.args
+            if isinstance(trace, DistributionTrace)
+            and Diff.static_check_no_change(argdiffs)
+            else pack_site_args(new_args)
+        )
         return (
-            DistributionTrace(self, new_args, value, score),
+            DistributionTrace(self, stored, value, score),
             score - prior_score,
             Diff.unknown_change(value),
             Update(ChoiceMap.choice(held).mask(selected)),

@@ -342,6 +342,36 @@ def _static_edit_plan(
         return frozenset(), frozenset(), False
 
 
+def _canon_args(args: tuple) -> tuple:
+    """Eager/traced structural parity (ARCHITECTURE.md 4c).
+
+    Python-scalar leaves of the incoming args become arrays before the
+    source runs — exactly what `jit` tracing would do to them. With this,
+    distribution call sites see python scalars ONLY for source literals,
+    so the static-args packing (`pack_site_args`) keys off a property of
+    the MODEL, never of the caller's execution mode: a trace built eagerly
+    has the same pytree structure as one built under `jit`/`vmap`.
+    """
+    return jax.tree_util.tree_map(
+        lambda l: jnp.asarray(l) if isinstance(l, (bool, int, float)) else l,
+        args,
+    )
+
+
+def _canon_argdiffs(argdiffs: Argdiffs) -> Argdiffs:
+    """`_canon_args` lifted over `Diff` leaves (edit entry points)."""
+    return jax.tree_util.tree_map(
+        lambda d: Diff(
+            jnp.asarray(d.primal)
+            if isinstance(d.primal, (bool, int, float))
+            else d.primal,
+            d.tangent,
+        ),
+        argdiffs,
+        is_leaf=lambda x: isinstance(x, Diff),
+    )
+
+
 #######################
 # Generative function #
 #######################
@@ -387,6 +417,7 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
         if checked.is_checked():
             checked.check_key(key, "simulate")
             checked.check_args(args, "simulate")
+        args = _canon_args(args)
         handler = SimulateHandler(key)
         with handler_context(handler):
             retval = self.source(*args)
@@ -396,6 +427,7 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
         if checked.is_checked():
             checked.check_choice_map(sample, "assess", "sample")
             checked.check_args(args, "assess")
+        args = _canon_args(args)
         handler = AssessHandler(sample)
         with handler_context(handler):
             retval = self.source(*args)
@@ -408,6 +440,7 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
             checked.check_key(key, "generate")
             checked.check_choice_map(constraint, "generate")
             checked.check_args(args, "generate")
+        args = _canon_args(args)
         handler = GenerateHandler(key, constraint)
         with handler_context(handler):
             retval = self.source(*args)
@@ -531,6 +564,7 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
             checked.check_request(edit_request, "edit")
             checked.check_args(argdiffs, "edit (argdiffs)")
         assert isinstance(trace, StaticTrace)
+        argdiffs = _canon_argdiffs(argdiffs)
         match edit_request:
             case Update(constraint):
                 return self.edit_update(key, trace, constraint, argdiffs)

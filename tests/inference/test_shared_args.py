@@ -265,3 +265,78 @@ class TestCollectionIndexing:
             ChoiceMap.kw(w=particle.get_choices()["w"], ys=YS), (X,)
         )
         assert jnp.allclose(particle.get_score(), sc, atol=1e-5)
+
+
+class TestStaticSiteArgs:
+    """ARCHITECTURE.md 4c: literal distribution args live in the treedef,
+    not as per-particle columns; constness survives edit chains and never
+    captures data-derived values."""
+
+    def test_literal_args_not_batched_under_vmap(self):
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        import genjax_tpu as g
+
+        @g.gen
+        def m():
+            x = g.normal(0.0, 1.0) @ "x"
+            _ = g.normal(x, 1.0) @ "y"
+            return x
+
+        trs = jax.vmap(m.simulate, in_axes=(0, None))(
+            jax.random.split(jax.random.key(0), 32), ()
+        )
+        widths = [
+            l.shape for l in jtu.tree_leaves(trs) if getattr(l, "ndim", 0)
+        ]
+        # x's literal (0.0, 1.0) and y's scale literal are static: only
+        # retval, x value/score, y loc (=x, genuinely dynamic), y
+        # value/score remain as (32,) leaves.
+        assert len(widths) == 6, widths
+        # and get_args still round-trips the literals
+        one = jtu.tree_map(lambda v: v[0], trs)
+        assert one.subtraces["x"].get_args() == (0.0, 1.0)
+
+    def test_python_float_constraint_stays_dynamic(self):
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        import genjax_tpu as g
+        from genjax_tpu import ChoiceMap
+
+        @g.gen
+        def m():
+            x = g.normal(0.0, 1.0) @ "x"
+            return x
+
+        # Eager generate with a python-float constraint: the VALUE must
+        # stay a dynamic leaf (freezing it would bake data into the
+        # treedef and break structure equality with jit-built traces).
+        tr, _ = m.importance(jax.random.key(0), ChoiceMap.kw(x=2.5), ())
+        tr2 = m.simulate(jax.random.key(1), ())
+        assert jtu.tree_structure(tr) == jtu.tree_structure(tr2)
+
+    def test_edit_preserves_packing(self):
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        import genjax_tpu as g
+        from genjax_tpu import ChoiceMap, Diff, Regenerate, Selection, Update
+
+        @g.gen
+        def m():
+            x = g.normal(0.0, 1.0) @ "x"
+            _ = g.normal(x, 1.0) @ "y"
+            return x
+
+        tr = m.simulate(jax.random.key(0), ())
+        for req in (
+            Update(ChoiceMap.kw(x=1.0)),
+            Regenerate(Selection.at["x"]),
+        ):
+            new_tr, *_ = req.edit(jax.random.key(1), tr, Diff.no_change(()))
+            assert jtu.tree_structure(new_tr) == jtu.tree_structure(tr), req
