@@ -36,6 +36,35 @@ def main():
         err, _ = jcheckify.checkify(f)()
         assert err.get() is not None  # invalid unmask detected
 
+    # --- checked mode: typed errors at the API boundary ---
+    # The reference beartypes its whole API at import; here the same
+    # coverage is installed at import but stays inert until checked mode
+    # activates (zero overhead on traced paths otherwise).
+    from genjax_tpu import ChoiceMap
+    from genjax_tpu.core.checked import checked_mode
+
+    @gen
+    def gm():
+        return normal(0.0, 1.0) @ "x"
+
+    with checked_mode():
+        try:
+            gm.simulate(42, ())  # raw seed, not a PRNG key
+            raise AssertionError("should have raised")
+        except TypeError as e:
+            assert "PRNG" in str(e)
+        try:
+            gm.generate(jax.random.key(0), {"x": 1.0}, ())  # dict, not ChoiceMap
+            raise AssertionError("should have raised")
+        except TypeError as e:
+            assert "ChoiceMap" in str(e)
+        chm = ChoiceMap.kw(x=1.0)
+        try:
+            chm.merge({"y": 2.0})  # boundary check on every public method
+            raise AssertionError("should have raised")
+        except TypeError as e:
+            assert "merge" in str(e)
+
     # --- rich rendering ---
     @gen
     def model():

@@ -65,3 +65,12 @@ __all__ = [  # noqa: PLE0604
     "tag",
     "time_machine",
 ]
+
+# Whole-API validation wrappers (reference beartype parity; the checks
+# are inert until `checked_mode()` / `do_checked(True)` — see
+# core/typecheck.py).
+import sys as _sys  # noqa: E402
+
+from genjax_tpu.core import typecheck as _typecheck  # noqa: E402
+
+_typecheck.instrument(_sys.modules[__name__])

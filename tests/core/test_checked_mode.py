@@ -90,11 +90,17 @@ class TestConstructorValidation:
             with pytest.raises(TypeError, match="ChoiceMap"):
                 Target(_model, (0.0,), {"x": 1.0})
 
+    def test_mask_rejects_non_flag(self):
+        chm = ChoiceMap.kw(x=1.0)
+        with checked_mode():
+            with pytest.raises(TypeError, match="flag"):
+                chm.mask("x")
+
     def test_filter_rejects_non_selection(self):
         chm = ChoiceMap.kw(x=1.0)
         with checked_mode():
-            with pytest.raises(TypeError, match="Selection"):
-                chm.mask("x")
+            with pytest.raises(TypeError, match="[Ss]election"):
+                chm.filter("x")
 
     def test_merge_rejects_dict(self):
         chm = ChoiceMap.kw(x=1.0)
