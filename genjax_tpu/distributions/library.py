@@ -131,24 +131,44 @@ def _uniform_logpdf(v, low=0.0, high=1.0):
 uniform = native_distribution(_uniform_sample, _uniform_logpdf, "uniform")
 
 
+def _trace_time_scalar(v) -> float | None:
+    """The concrete float value of `v` if it is knowable at trace time
+    (a python scalar, or a 0-d non-tracer array — e.g. a model literal
+    canonicalized by `lang.static._canon_args`, which stays a constant
+    under `jit`); None for tracers and non-scalars."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    from genjax_tpu.core.typing import static_check_is_concrete
+
+    if static_check_is_concrete(v) and jnp.ndim(v) == 0:
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
 def _static_small_int(v, limit: float) -> int | None:
     """If `v` is a trace-time-concrete positive integer <= limit, return
     it; else None. (Model hyperparameters written as literals stay
     concrete under jit, enabling static sampler specialization.)"""
-    if isinstance(v, (int, float)) and not isinstance(v, bool):
-        fv = float(v)
-        if fv.is_integer() and 1.0 <= fv <= limit:
-            return int(fv)
+    fv = _trace_time_scalar(v)
+    if fv is not None and fv.is_integer() and 1.0 <= fv <= limit:
+        return int(fv)
     return None
 
 
 def _static_half_int_double(v, limit: float) -> int | None:
     """If `v` is trace-time concrete with 2v a positive integer <= limit,
     return 2v as int; else None."""
-    if isinstance(v, (int, float)) and not isinstance(v, bool):
-        dv = 2.0 * float(v)
-        if dv.is_integer() and 1.0 <= dv <= limit:
-            return int(dv)
+    fv = _trace_time_scalar(v)
+    if fv is None:
+        return None
+    dv = 2.0 * fv
+    if dv.is_integer() and 1.0 <= dv <= limit:
+        return int(dv)
     return None
 
 
@@ -250,9 +270,10 @@ half_normal = native_distribution(_half_normal_sample, _half_normal_logpdf, "hal
 
 def _student_t_sample(key, df, loc, scale):
     shape = jnp.shape(jnp.zeros(()) + df + loc + scale)
-    if isinstance(df, (int, float)) and shape == ():
+    df_c = _trace_time_scalar(df)
+    if df_c is not None and shape == ():
         k1, k2 = jax.random.split(key)
-        g = _fast_gamma_unit(k1, float(df) / 2.0)
+        g = _fast_gamma_unit(k1, df_c / 2.0)
         if g is not None:
             z = jax.random.normal(k2)
             return loc + scale * z / jnp.sqrt(2.0 * g / df)
@@ -375,8 +396,9 @@ exp_inverse_gamma = native_distribution(
 
 
 def _chi2_sample(key, df):
-    if isinstance(df, (int, float)):
-        g = _fast_gamma_unit(key, float(df) / 2.0)
+    df_c = _trace_time_scalar(df)
+    if df_c is not None:
+        g = _fast_gamma_unit(key, df_c / 2.0)
         if g is not None:
             return 2.0 * g
     return jax.random.chisquare(key, df, shape=jnp.shape(df * 1.0))

@@ -342,31 +342,42 @@ def _static_edit_plan(
         return frozenset(), frozenset(), False
 
 
+def _canon_scalar(l):
+    """Canonicalize a python scalar to a NUMPY 0-d array with JAX's
+    default dtypes. numpy (not `jnp.asarray`): under `jit` tracing,
+    `jnp.asarray` stages the constant into a tracer, which would defeat
+    trace-time sampler specialization (`distributions/library.py::
+    _trace_time_scalar`); a numpy array is a dynamic pytree leaf AND
+    stays concrete inside traced code."""
+    import numpy as np
+
+    if isinstance(l, bool):
+        return np.asarray(l)
+    if isinstance(l, int):
+        return np.asarray(l, dtype=np.int32)
+    if isinstance(l, float):
+        return np.asarray(l, dtype=np.float32)
+    return l
+
+
 def _canon_args(args: tuple) -> tuple:
     """Eager/traced structural parity (ARCHITECTURE.md 4c).
 
-    Python-scalar leaves of the incoming args become arrays before the
-    source runs — exactly what `jit` tracing would do to them. With this,
-    distribution call sites see python scalars ONLY for source literals,
-    so the static-args packing (`pack_site_args`) keys off a property of
-    the MODEL, never of the caller's execution mode: a trace built eagerly
-    has the same pytree structure as one built under `jit`/`vmap`.
+    Python-scalar leaves of the incoming args become (numpy) arrays
+    before the source runs — matching the dynamic-leaf structure `jit`
+    tracing gives them. With this, distribution call sites see python
+    scalars ONLY for source literals, so the static-args packing
+    (`pack_site_args`) keys off a property of the MODEL, never of the
+    caller's execution mode: a trace built eagerly has the same pytree
+    structure as one built under `jit`/`vmap`.
     """
-    return jax.tree_util.tree_map(
-        lambda l: jnp.asarray(l) if isinstance(l, (bool, int, float)) else l,
-        args,
-    )
+    return jax.tree_util.tree_map(_canon_scalar, args)
 
 
 def _canon_argdiffs(argdiffs: Argdiffs) -> Argdiffs:
     """`_canon_args` lifted over `Diff` leaves (edit entry points)."""
     return jax.tree_util.tree_map(
-        lambda d: Diff(
-            jnp.asarray(d.primal)
-            if isinstance(d.primal, (bool, int, float))
-            else d.primal,
-            d.tangent,
-        ),
+        lambda d: Diff(_canon_scalar(d.primal), d.tangent),
         argdiffs,
         is_leaf=lambda x: isinstance(x, Diff),
     )

@@ -95,3 +95,48 @@ class TestDispatchIsTraceTime:
         assert jnp.allclose(
             tr.get_score(), g.beta.logpdf(p, 2.0, 2.0), atol=1e-5
         )
+
+
+class TestSpecializationSurvivesCanonicalization:
+    """Model args canonicalized by `lang.static._canon_args` must stay
+    trace-time concrete: `jnp.asarray` would stage literals into tracers
+    and silently fall back to the rejection sampler (a 24x regression on
+    the SIR benchmark, caught on hardware in r3)."""
+
+    def test_canon_scalar_is_concrete_under_jit(self):
+        from genjax_tpu.distributions.library import _static_small_int
+        from genjax_tpu.lang.static import _canon_scalar
+
+        captured = {}
+
+        @jax.jit
+        def probe(key):
+            captured["ssi"] = _static_small_int(_canon_scalar(2.0), 8)
+            return jax.random.uniform(key)
+
+        probe(jax.random.key(0))
+        assert captured["ssi"] == 2
+
+    def test_model_literal_args_specialize_through_gfi(self):
+        @g.gen
+        def bb(a, b):
+            p = g.beta(a, b) @ "p"
+            return p
+
+        text = jax.make_jaxpr(
+            lambda k: bb.simulate(k, (2.0, 2.0)).get_score()
+        )(jax.random.key(0)).pretty_print()
+        # order-statistic fast path: a sort, no gamma rejection loop
+        assert "sort" in text and "while" not in text
+
+    def test_eager_and_jit_trace_structures_match(self):
+        import jax.tree_util as jtu
+
+        @g.gen
+        def bb(a, b):
+            p = g.beta(a, b) @ "p"
+            return p
+
+        tr = bb.simulate(jax.random.key(0), (2.0, 2.0))
+        jtr = jax.jit(bb.simulate)(jax.random.key(0), (2.0, 2.0))
+        assert jtu.tree_structure(tr) == jtu.tree_structure(jtr)
