@@ -262,7 +262,7 @@ def main():
         # inside one jit (scan over keys) with the tunnel round-trip floor
         # subtracted — a per-call timing at 10k particles measures the
         # ~25 ms tunnel, not the ~8 ms filter.
-        for K_pf, reps in ((10_000, 10), (1_000_000, 3)):
+        for K_pf, reps in ((10_000, 25), (1_000_000, 3)):
             @jax.jit
             def pf_batch(keys, K_pf=K_pf):
                 return jax.lax.scan(
@@ -309,7 +309,7 @@ def main():
             )
             return lml, jnp.mean(col.get_particles().get_choices()["x"])
 
-        reps_smc = 5
+        reps_smc = 20  # ~4.6 ms/round: keep per-rep floor noise <2%
 
         @jax.jit
         def smc_batch(keys):
@@ -396,7 +396,11 @@ def main():
         from genjax_tpu.models.logreg import run_hmc_chains, simulate_logreg_data
 
         X, yo, _ = simulate_logreg_data(jax.random.key(3), 256, 16)
-        reps_h = 5
+        # 50 in-jit reps: at ~1.5 ms/rep, 5 reps left the per-rep number
+        # floor-noise dominated (the ~25-30 ms tunnel floor jitters by
+        # +-2-4 ms between calls; /5 is +-0.5-0.8 ms on a 1.5 ms signal —
+        # one r3 run misreported 0.38 ms/2.9x from exactly this).
+        reps_h = 50
         # ONE config for both sides of the parity ratio.
         eps_h, L_h, S_h, C_h = 0.02, 5, 10, 8192
 

@@ -23,12 +23,28 @@ Single-process fallbacks keep every code path exercisable on one host
 local mesh with identical axis semantics.
 """
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from genjax_tpu.core.typing import FloatArray
+
+
+def _warn_multiprocess_untested(where: str) -> None:
+    """One-time, call-time warning on the branches only a real multi-
+    process launch reaches. This container has no multi-process CI: the
+    single-process paths and the 8-device virtual mesh are tested, these
+    branches are reviewed but UNVERIFIED on a pod (see PARITY.md)."""
+    warnings.warn(
+        f"{where}: executing the multi-process path, which has no "
+        "multi-process test coverage in this build (single-process and "
+        "virtual-mesh paths are tested). Validate numerics on your pod "
+        "before trusting results.",
+        stacklevel=3,
+    )
 
 
 def initialize_multihost(
@@ -89,6 +105,7 @@ def hybrid_mesh(
     """
     n = len(jax.devices())
     if jax.process_count() > 1:
+        _warn_multiprocess_untested("hybrid_mesh")
         from jax.experimental import mesh_utils
 
         # Shapes for create_hybrid_device_mesh are PER-GRANULE (ICI) and
@@ -210,6 +227,7 @@ def global_from_process_local(tree, mesh: Mesh, spec: P):
     def place(local):
         if jax.process_count() == 1:
             return jax.device_put(local, sharding)
+        _warn_multiprocess_untested("global_from_process_local")
         global_rows = local.shape[0] * jax.process_count()
         global_shape = (global_rows,) + tuple(local.shape[1:])
         return jax.make_array_from_process_local_data(
