@@ -204,6 +204,71 @@ RESAMPLERS: dict[str, Callable[[PRNGKey, FloatArray, int], IntArray]] = {
 }
 
 
+def share_constrained_values(
+    traces, constraint: ChoiceMap, n_rows: int | tuple
+):
+    """Replace per-particle copies of constrained-site VALUES with ONE
+    shared copy (the observed data itself).
+
+    `vmap(generate)` broadcasts every constrained address's value — the
+    observations — into a `(K, ...)` column of the particle batch, even
+    though all K rows are identical. At 1M particles that column rides
+    every resample exchange, accept-select, and checkpoint for nothing.
+    This is the constrained-value analogue of `mcmc.share_chain_args`
+    (ARCHITECTURE.md 4b): the shared leaf has no leading particle axis,
+    and every driver already maps such leaves with `in_axes=None` /
+    passes them through `expand_rows`/`take_rows`/`where_tree`.
+
+    Only plain (non-Mask) constraints reaching `DistributionTrace`
+    leaves through `StaticTrace` nodes are shared; anything else — Mask
+    gating, combinator subtraces, dynamic addresses — is left in its
+    (correct, merely unoptimized) broadcast form. A constraint leaf
+    whose OWN leading dimension equals a batch dimension is ambiguous
+    under the leading-dim convention and is likewise left batched.
+
+    `n_rows` is the batch shape: an int `K` for a flat particle batch,
+    or a tuple (e.g. `(C, K)` for `GridSMC`'s chains x particles grid).
+    """
+    import dataclasses
+
+    from genjax_tpu.core.mask import Mask
+    from genjax_tpu.distributions.distribution import DistributionTrace
+    from genjax_tpu.lang.static import StaticTrace
+
+    batch_shape = (n_rows,) if isinstance(n_rows, int) else tuple(n_rows)
+
+    def rewrite(tr, chm):
+        if isinstance(tr, StaticTrace):
+            subs = dict(tr.subtraces)
+            changed = False
+            for key in list(subs.keys()):
+                child = chm.get_inner_map(key)
+                new_sub = rewrite(subs[key], child)
+                if new_sub is not subs[key]:
+                    subs[key] = new_sub
+                    changed = True
+            return dataclasses.replace(tr, subtraces=subs) if changed else tr
+        if isinstance(tr, DistributionTrace):
+            v = chm.get_value()
+            if v is None or isinstance(v, Mask):
+                return tr
+            shared = jtu.tree_map(jnp.asarray, v)
+            stored = tr.value
+            s_leaves, s_def = jtu.tree_flatten(shared)
+            t_leaves, t_def = jtu.tree_flatten(stored)
+            if s_def != t_def:
+                return tr
+            for s, t in zip(s_leaves, t_leaves):
+                if jnp.shape(t) != batch_shape + jnp.shape(s):
+                    return tr  # not the broadcast form (e.g. per-index)
+                if jnp.ndim(s) >= 1 and jnp.shape(s)[0] in batch_shape:
+                    return tr  # ambiguous leading dim: keep batched
+            return dataclasses.replace(tr, value=shared)
+        return tr
+
+    return rewrite(traces, constraint)
+
+
 @Pytree.dataclass
 class ParticleCollection(Generic[R], Pytree):
     """A weighted collection of particles (traces with a leading particle
@@ -598,6 +663,7 @@ class SMCDriver(Generic[R], Pytree):
         trs, ws = jax.vmap(target.importance, in_axes=(0, None))(
             sub_keys, ChoiceMap.empty()
         )
+        trs = share_constrained_values(trs, target.constraint, self.n_particles)
         return ParticleCollection(trs, ws, jnp.array(True))
 
     def maybe_resample(
@@ -656,6 +722,9 @@ class SMCDriver(Generic[R], Pytree):
         new_particles, ws = jax.vmap(
             _extend, in_axes=(0, axes), out_axes=(axes, 0)
         )(sub_keys, particles)
+        new_particles = share_constrained_values(
+            new_particles, constraint, self.n_particles
+        )
         return ParticleCollection(
             new_particles, collection.get_log_weights() + ws, collection.is_valid
         )

@@ -149,6 +149,9 @@ class TemperedSMC(Generic[R], Pytree):
             init_keys, ChoiceMap.empty()
         )
         trs = share_chain_args(trs, target.args)
+        from genjax_tpu.inference.smc import share_constrained_values
+
+        trs = share_constrained_values(trs, target.constraint, self.n_particles)
         logliks = jax.vmap(
             lambda k, t: _loglik(k, t, obs_selection),
             in_axes=(0, _chain_axes(trs, self.n_particles)),
@@ -253,6 +256,9 @@ class TemperedSMC(Generic[R], Pytree):
             init_keys, ChoiceMap.empty()
         )
         trs = share_chain_args(trs, target.args)
+        from genjax_tpu.inference.smc import share_constrained_values
+
+        trs = share_constrained_values(trs, target.constraint, self.n_particles)
         logliks = jax.vmap(
             lambda k, t: _loglik(k, t, obs_selection),
             in_axes=(0, _chain_axes(trs, self.n_particles)),

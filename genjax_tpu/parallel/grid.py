@@ -123,6 +123,12 @@ class GridSMC(Generic[R], Pytree):
 
         new_args = jtu.tree_map(pick, target.args, trs.get_args())
         trs = dataclasses.replace(trs, args=new_args)
+        # Observed data is identical across the whole grid: one copy.
+        from genjax_tpu.inference.smc import share_constrained_values
+
+        trs = share_constrained_values(
+            trs, target.constraint, (self.n_chains, self.n_particles)
+        )
         return ParticleCollection(
             self._constrain(trs), self._constrain(ws), jnp.array(True)
         )

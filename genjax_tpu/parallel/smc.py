@@ -219,6 +219,11 @@ class ShardedSMC(Generic[R], Pytree):
         trs, ws = jax.vmap(target.importance, in_axes=(0, None))(
             sub_keys, ChoiceMap.empty()
         )
+        # Observed data is identical across particles: store it once
+        # (the broadcast columns DCE away inside the same jit).
+        from genjax_tpu.inference.smc import share_constrained_values
+
+        trs = share_constrained_values(trs, target.constraint, self.n_particles)
         return ParticleCollection(
             self._constrain(trs), self._constrain(ws), jnp.array(True)
         )
@@ -256,6 +261,11 @@ class ShardedSMC(Generic[R], Pytree):
         new_particles, ws = jax.vmap(
             _extend, in_axes=(0, axes), out_axes=(axes, 0)
         )(sub_keys, particles)
+        from genjax_tpu.inference.smc import share_constrained_values
+
+        new_particles = share_constrained_values(
+            new_particles, constraint, self.n_particles
+        )
         return ParticleCollection(
             self._constrain(new_particles),
             self._constrain(collection.get_log_weights() + ws),
