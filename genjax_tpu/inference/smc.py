@@ -514,6 +514,10 @@ class ImportanceK(Generic[R], SMCAlgorithm[R]):
         from genjax_tpu.inference.mcmc import share_chain_args
 
         trs = share_chain_args(trs, self.target.args)
+        # ... and of the observed data (see share_constrained_values).
+        trs = share_constrained_values(
+            trs, self.target.constraint, self.k_particles
+        )
         return ParticleCollection(
             trs, target_scores - log_weights, jnp.array(True)
         )
