@@ -15,23 +15,29 @@ particle j's row is copied into the contiguous output block
 O(log N)-depth algorithm built entirely from `jnp.roll` + `jnp.where`
 passes over the packed row matrix:
 
-1. **Compact** (left-shift): survivor j moves left by the number of dead
-   rows before it, landing at its survivor rank c. Displacements are
-   one-sided and non-decreasing, so MSB-first binary hops are
-   conflict-free (intermediate positions stay strictly increasing: with
-   `high_k` monotone in the displacement, `c + high_k(delta_c)` is
-   strictly increasing in c). The block start N_{j-1} rides along as a
-   payload column.
+1. **Compact**: one variadic `lax.sort` moves survivors (in order) to
+   the front, dead rows to the back; the block counts ride as the only
+   bookkeeping payload (`live` and the block starts are derived after
+   the sort). The sort is irreplaceable here: compaction's displacement
+   is non-decreasing along the row order while the movement is LEFT, so
+   MSB-first binary routing is NOT conflict-free for it (see the
+   comment in `expand_cols`).
 2. **Spread** (right-shift): the survivor at rank c moves right to its
-   block start t_c — again one-sided non-decreasing (t_{c+1} >= t_c + 1
-   implies t_c - c non-decreasing), same MSB-first hops.
+   block start t_c — one-sided non-decreasing (t_{c+1} >= t_c + 1
+   implies t_c - c non-decreasing), so MSB-first binary hops ARE
+   conflict-free: movers form a suffix at every stage, and a mover's
+   landing lane is either empty or simultaneously vacated.
 3. **Fill forward**: pointer-doubling max-scan copies each block start's
    row across its run.
 
-Phases 2-3 are `while_loop`s of roll+select passes whose stage count
-adapts to the runtime displacement/run bounds (near-uniform weights cost
-only a few passes); phase 1 is one variadic `lax.sort` (TPU sorts
-stream at ~30x gather bandwidth). Measured at 1M x F=1: ~4.5 ms vs
+Phase 2 is a `lax.scan` over a STATIC log2(N) stage schedule — a stage
+whose hop bit is set in no row's remaining displacement is an automatic
+no-op pass, and a scan pass measured ~4x cheaper than the same body in
+a `while_loop` on this part. Phase 3 stays a `while_loop` whose trip
+count adapts to the runtime max run length (near-uniform weights fill
+in 2-3 passes). The `lax.sort` dominates the cost (~1.4 ms + ~0.35 ms
+per payload column at 1M — TPU sorts are ~log^2-pass networks), which
+is why the payload is kept minimal. Measured at 1M x F=1: ~2 ms vs
 6.4 ms for the take — AND no ancestor vector is ever materialized,
 which saves the additional ~7 ms scalar scatter the ancestor-based
 resamplers pay.
@@ -53,50 +59,49 @@ from genjax_tpu.core.typing import IntArray
 
 
 
-def _route_right(cols, rem, n: int):
+def _route(cols, rem, n: int, direction: int):
     """Move rows (stored as a TUPLE of (N,) column arrays — TPU pads a
     2-d minor dim to 128 lanes, so an (N, F) layout wastes ~F/128 of the
-    bandwidth of every pass) toward higher lanes by their exact remaining
-    displacement `rem` (one-sided, non-decreasing over occupied lanes;
-    rem < 0 marks an empty lane), via MSB-first binary hops. Conflict-
-    free: the c-th row's intermediate position c + high_k(delta_c) is
-    strictly increasing in c because high_k is monotone in delta. Rows
-    move by the exact bit decomposition of their displacement.
+    bandwidth of every pass) by their exact remaining displacement `rem`
+    (one-sided, non-decreasing over occupied lanes; rem < 0 marks an
+    empty lane), via MSB-first binary hops. `direction` is +1 (toward
+    higher lanes) or -1 (toward lower lanes). Conflict-free: final
+    targets are strictly increasing in current order and high-to-low bit
+    processing keeps intermediate positions strictly increasing.
 
-    One `while_loop` body with a dynamic roll shift (not an unrolled
-    per-stage graph): the stage count adapts to the runtime displacement
-    bound and the compiled program stays small (an unrolled 20-cond
-    chain took minutes of XLA compile time through the remote-compile
-    tunnel)."""
-    max_rem = jnp.maximum(jnp.max(rem), 0)
-    # First stage index = position of max_rem's highest set bit (the
-    # +0.5 nudge makes the float log2 round safely HIGH, never low; a
-    # too-high stage is a no-op pass).
-    k0 = jnp.ceil(jnp.log2(jnp.maximum(max_rem, 1).astype(jnp.float32) + 0.5))
-    k0 = k0.astype(jnp.int32)
+    One `lax.scan` over a STATIC log2(n) stage schedule (bits above the
+    runtime displacement bound are set in no row, so those passes are
+    automatic no-ops). A scan pass measures ~4x cheaper than the same
+    body in a `while_loop` on this part, which more than pays for the
+    few no-op stages; and the body is compiled once, so compile time
+    stays small (an unrolled per-stage cond chain took minutes through
+    the remote-compile tunnel)."""
+    n_stages = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    ks = jnp.arange(n_stages - 1, -1, -1, dtype=jnp.int32)
 
-    def cond(state):
-        k, _, _ = state
-        return k >= 0
-
-    def body(state):
-        k, cols, rem = state
+    def body(state, k):
+        cols, rem = state
         hop = jnp.left_shift(jnp.int32(1), k)
-        src_rem = jnp.roll(rem, hop)
+        shift = direction * hop
+        src_rem = jnp.roll(rem, shift)
         incoming = (src_rem >= 0) & ((src_rem & hop) != 0)
         # A lane never both keeps a finished row and receives one
         # (conflict-freedom above), so the two selects can't clash.
         vacated = (rem >= 0) & ((rem & hop) != 0)
         new_cols = tuple(
-            jnp.where(incoming, jnp.roll(c, hop), c) for c in cols
+            jnp.where(incoming, jnp.roll(c, shift), c) for c in cols
         )
         new_rem = jnp.where(
             incoming, src_rem - hop, jnp.where(vacated, -1, rem)
         )
-        return k - 1, new_cols, new_rem
+        return (new_cols, new_rem), None
 
-    _, cols, rem = jax.lax.while_loop(cond, body, (k0, cols, rem))
+    (cols, rem), _ = jax.lax.scan(body, (cols, rem), ks)
     return cols, rem
+
+
+def _route_right(cols, rem, n: int):
+    return _route(cols, rem, n, 1)
 
 
 def _fill_forward(cols, marked, max_run, n: int):
@@ -140,18 +145,28 @@ def expand_cols(cols, cum_counts: IntArray):
     iota = jnp.arange(n, dtype=jnp.int32)
 
     # Phase 1 — compact survivors to rank lanes via ONE variadic sort
-    # (TPU sorts stream; measured ~30x the bandwidth of a gather). Key:
-    # survivors keep their order, dead rows sink to the back. Each row
-    # carries its block start as a payload column.
+    # (survivors keep their order, dead rows sink to the back). MSB-first
+    # routing CANNOT replace this sort: compaction moves rows left while
+    # its displacement (dead-before count) is non-decreasing along the
+    # row order, so a mover's intermediate hop can land on a stationary
+    # earlier row (concrete clash: rem=[0,-,-,-,-,4,4,-,-,6,6,-,-,8,..] —
+    # the rem-8 row's first hop lands exactly on the stationary rem-4
+    # row). The spread phase is safe precisely because ITS movers form a
+    # suffix at every stage. Payload is kept minimal — the block counts
+    # ride the sort; `live` and the block starts are derived AFTER the
+    # sort (live = key < n, starts = exclusive cumsum of sorted counts),
+    # saving one full column per pass of the sort network.
     key1 = jnp.where(survive, iota, iota + n)
-    _, start_at, live, *sorted_cols = jax.lax.sort(
-        (key1, starts, survive.astype(jnp.int32)) + tuple(cols),
-        num_keys=1,
+    sorted_key, sorted_counts, *sorted_cols = jax.lax.sort(
+        (key1, counts) + tuple(cols), num_keys=1
     )
+    live = sorted_key < n
+    csum = jnp.cumsum(sorted_counts)
+    start_at = csum - sorted_counts
 
     # Phase 2 — spread rank-c survivor right to its block start t_c
     # (t_c - c is one-sided non-decreasing). rem < 0 marks empty lanes.
-    rem = jnp.where(live > 0, start_at - iota, -1)
+    rem = jnp.where(live, start_at - iota, -1)
     sorted_cols, rem = _route_right(tuple(sorted_cols), rem, n)
 
     # Phase 3 — fill each block forward across its run.
