@@ -1,6 +1,13 @@
 """Inference library: GenSP targets/algorithms, SMC, MCMC, VI."""
 
-from genjax_tpu.inference import mcmc, requests, smc, tempered
+from genjax_tpu.inference import (
+    adaptation,
+    diagnostics,
+    mcmc,
+    requests,
+    smc,
+    tempered,
+)
 from genjax_tpu.inference.sp import (
     Algorithm,
     Marginal,
@@ -19,6 +26,8 @@ except ImportError:  # pragma: no cover - before the ADEV layer lands
 __all__ = [
     "Algorithm",
     "Marginal",
+    "adaptation",
+    "diagnostics",
     "SampleDistribution",
     "Target",
     "marginal",

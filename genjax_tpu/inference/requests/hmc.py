@@ -111,25 +111,51 @@ def _std_normal_score(v) -> Score:
     return jnp.sum(s) if jnp.ndim(s) else s
 
 
-def assess_momenta(momenta, mul=1.0):
-    return jnp.sum(
-        jnp.array(
-            jtu.tree_leaves(jtu.tree_map(lambda v: _std_normal_score(mul * v), momenta))
+def _mass_tree(inv_mass, like):
+    """Broadcast the inverse-mass spec (None | scalar | pytree matching
+    `like`) into a per-leaf tree of M^-1 diagonals."""
+    if inv_mass is None:
+        return jtu.tree_map(lambda v: jnp.ones_like(jnp.asarray(v)), like)
+    if isinstance(inv_mass, (int, float)) or (
+        isinstance(inv_mass, jax.Array) and inv_mass.ndim == 0
+    ):
+        return jtu.tree_map(
+            lambda v: jnp.broadcast_to(jnp.asarray(inv_mass, dtype=jnp.result_type(float)), jnp.shape(v)),
+            like,
         )
+    return jtu.tree_map(
+        lambda v, im: jnp.broadcast_to(im, jnp.shape(v)), like, inv_mass
     )
 
 
-def sample_momenta(key: PRNGKey, choice_gradients):
+def assess_momenta(momenta, mul=1.0, inv_mass=None):
+    """Log density of the momenta under N(0, M) with diagonal
+    M = 1/inv_mass: -1/2 p^T M^-1 p - d/2 log 2pi + 1/2 sum log inv_mass."""
+    im = _mass_tree(inv_mass, momenta)
+
+    def score(p, im_leaf):
+        s = -0.5 * im_leaf * jnp.square(mul * p) - _HALF_LOG_2PI + 0.5 * jnp.log(im_leaf)
+        return jnp.sum(s) if jnp.ndim(s) else s
+
+    return jnp.sum(jnp.array(jtu.tree_leaves(jtu.tree_map(score, momenta, im))))
+
+
+def sample_momenta(key: PRNGKey, choice_gradients, inv_mass=None):
+    """Draw p ~ N(0, M) with diagonal M = 1/inv_mass (unit mass when
+    `inv_mass` is None), one leaf-keyed fold_in per leaf."""
     leaves_ct = len(jtu.tree_leaves(choice_gradients))
     seed_tree = jtu.tree_unflatten(
         jtu.tree_structure(choice_gradients), list(range(leaves_ct))
     )
+    im = _mass_tree(inv_mass, choice_gradients)
     momenta = jtu.tree_map(
-        lambda v, seed: jrand.normal(jrand.fold_in(key, seed), jnp.shape(v)),
+        lambda v, seed, im_leaf: jrand.normal(jrand.fold_in(key, seed), jnp.shape(v))
+        / jnp.sqrt(im_leaf),
         choice_gradients,
         seed_tree,
+        im,
     )
-    return momenta, assess_momenta(momenta)
+    return momenta, assess_momenta(momenta, inv_mass=inv_mass)
 
 
 @Pytree.dataclass(match_args=True)
@@ -139,7 +165,18 @@ class HMC(EditRequest):
     score) - (old model score + old momenta score). Accept/reject is the
     caller's (see `genjax_tpu.inference.mcmc.mh`).
 
-    Neal (2011), eqns (5.18)-(5.20).
+    Neal (2011), eqns (5.18)-(5.20). `inv_mass` preconditions the
+    kinetic energy with a diagonal mass matrix: momenta are drawn from
+    N(0, M) with M = 1/inv_mass and positions step by `eps * inv_mass * p`
+    — set `inv_mass` to (an estimate of) the posterior variance of the
+    selected values, e.g. from `inference.adaptation.warmup_chains`.
+    Accepts None (unit mass), a scalar, or a pytree matching the selected
+    choices (leaves broadcastable to each value leaf). `jitter` (0..1)
+    draws each trajectory's step size uniformly from
+    `eps * [1-jitter, 1+jitter]` — strongly recommended (e.g. 0.2) for
+    fixed-L sampling runs, since a deterministic trajectory length
+    resonates with the target's periods (accepted proposals that return
+    to their start; see the comment in `edit`).
 
     >>> import jax, jax.numpy as jnp
     >>> import genjax_tpu as gx
@@ -158,6 +195,8 @@ class HMC(EditRequest):
     selection: Selection
     eps: FloatArray
     L: int = Pytree.static(default=10)
+    inv_mass: Any = None
+    jitter: float = Pytree.static(default=0.0)
 
     def edit(
         self, key: PRNGKey, tr: Trace[Any], argdiffs: Argdiffs
@@ -168,24 +207,46 @@ class HMC(EditRequest):
         values = tr.get_choices().filter(self.selection)
         _, gradients = grad_fn(values)
         key, sub_key = jrand.split(key)
-        momenta, original_momenta_score = sample_momenta(sub_key, gradients)
+        momenta, original_momenta_score = sample_momenta(
+            sub_key, gradients, inv_mass=self.inv_mass
+        )
+        im = _mass_tree(self.inv_mass, gradients)
+        eps = self.eps
+        if self.jitter:
+            # Per-trajectory step-size jitter (Neal 2011, §3.2): a fixed
+            # (eps, L) makes the trajectory length resonate with the
+            # target's periods — on a Gaussian, eps*L*sqrt(inv_mass)/sd
+            # near 2*pi returns every proposal to its start with
+            # near-perfect acceptance and zero movement (and step-size
+            # adaptation is ATTRACTED to that fixed point, since it tunes
+            # on acceptance). Drawing eps fresh per trajectory, before
+            # seeing the state, preserves detailed balance and blurs the
+            # resonance.
+            key, jit_key = jrand.split(key)
+            eps = eps * (
+                1.0 + self.jitter * (2.0 * jrand.uniform(jit_key) - 1.0)
+            )
 
         # Leapfrog over (values, momenta, gradient) with ONE fused
         # forward+backward density pass per step; the trace itself is
         # rebuilt once at the end (a single Update edit), not per step.
         def leapfrog(carry, _):
             values, gradient, momenta = carry
-            momenta = jtu.tree_map(lambda m, g: m + (self.eps / 2) * g, momenta, gradient)
-            values = jtu.tree_map(lambda v, m: v + self.eps * m, values, momenta)
+            momenta = jtu.tree_map(lambda m, g: m + (eps / 2) * g, momenta, gradient)
+            values = jtu.tree_map(
+                lambda v, m, im_leaf: v + eps * im_leaf * m, values, momenta, im
+            )
             _, gradient = grad_fn(values)
-            momenta = jtu.tree_map(lambda m, g: m + (self.eps / 2) * g, momenta, gradient)
+            momenta = jtu.tree_map(lambda m, g: m + (eps / 2) * g, momenta, gradient)
             return (values, gradient, momenta), None
 
         (final_values, _, final_momenta), _ = scan(
             leapfrog, (values, gradients, momenta), None, length=self.L
         )
         final_trace, _, retdiff, _ = Update(final_values).edit(key, tr, argdiffs)
-        final_momenta_score = assess_momenta(final_momenta, mul=-1.0)
+        final_momenta_score = assess_momenta(
+            final_momenta, mul=-1.0, inv_mass=self.inv_mass
+        )
         alpha = (
             final_trace.get_score()
             - original_score
@@ -196,7 +257,7 @@ class HMC(EditRequest):
             final_trace,
             alpha,
             retdiff,
-            HMC(self.selection, self.eps, self.L),
+            HMC(self.selection, self.eps, self.L, self.inv_mass, self.jitter),
         )
 
 
@@ -222,11 +283,15 @@ class MALA(EditRequest):
     selected addresses; the weight is the MALA log accept ratio.
 
     New relative to the reference (BASELINE.md benchmark config 4 calls
-    for MALA chains).
+    for MALA chains). `inv_mass` preconditions the proposal with a
+    diagonal covariance S = inv_mass (per-dimension step scaling):
+    `v' = v + eps*S*g + sqrt(2*eps*S)*xi`, with the reverse kernel
+    evaluated under the same S (the log-det terms cancel).
     """
 
     selection: Selection
     eps: FloatArray
+    inv_mass: Any = None
 
     def edit(
         self, key: PRNGKey, tr: Trace[Any], argdiffs: Argdiffs
@@ -236,6 +301,7 @@ class MALA(EditRequest):
         grad_fn = make_selection_grad_fn(self.selection, tr, argdiffs)
         values = tr.get_choices().filter(self.selection)
         _, grads = grad_fn(values)
+        scale = _mass_tree(self.inv_mass, values)
         key, noise_key = jrand.split(key)
         leaves_ct = len(jtu.tree_leaves(values))
         seed_tree = jtu.tree_unflatten(
@@ -247,19 +313,25 @@ class MALA(EditRequest):
             seed_tree,
         )
         proposed = jtu.tree_map(
-            lambda v, g, xi: v + eps * g + jnp.sqrt(2.0 * eps) * xi,
+            lambda v, g, xi, s: v + eps * s * g + jnp.sqrt(2.0 * eps * s) * xi,
             values,
             grads,
             noise,
+            scale,
         )
 
         def q_score(to_vals, from_vals, from_grads):
-            # log q(to | from) under Langevin proposal
+            # log q(to | from) under the preconditioned Langevin proposal
+            # (the 1/2 log det 4*pi*eps*S normalizer is shared between the
+            # forward and reverse kernels and cancels in alpha).
             diffs = jtu.tree_map(
-                lambda t, f, g: -jnp.sum(jnp.square(t - f - eps * g)) / (4.0 * eps),
+                lambda t, f, g, s: -jnp.sum(
+                    jnp.square(t - f - eps * s * g) / (4.0 * eps * s)
+                ),
                 to_vals,
                 from_vals,
                 from_grads,
+                scale,
             )
             return jnp.sum(jnp.array(jtu.tree_leaves(diffs)))
 
@@ -273,5 +345,5 @@ class MALA(EditRequest):
             new_tr,
             alpha,
             retdiff,
-            MALA(self.selection, self.eps),
+            MALA(self.selection, self.eps, self.inv_mass),
         )
