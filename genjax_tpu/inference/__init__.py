@@ -4,6 +4,7 @@ from genjax_tpu.inference import (
     adaptation,
     diagnostics,
     mcmc,
+    pmmh,
     requests,
     smc,
     tempered,
@@ -32,6 +33,7 @@ __all__ = [
     "Target",
     "marginal",
     "mcmc",
+    "pmmh",
     "requests",
     "smc",
     "tempered",

@@ -44,10 +44,16 @@ class BootstrapFilter(Pytree):
     ess_threshold: float = Pytree.static(default=0.5)
 
     def run(
-        self, key: PRNGKey, observations: Any
+        self, key: PRNGKey, observations: Any, model_args: tuple = ()
     ) -> tuple[FloatArray, Any]:
         """Filter the observation sequence; returns (log marginal
         likelihood estimate, final particle states).
+
+        `model_args` are extra (traced) arguments appended to both
+        models' signatures — `init_model(*model_args)` and
+        `step_model(z_prev, t, *model_args)` — the hook for
+        parameter-dependent filters (e.g. `inference.pmmh.PMMH`, which
+        re-runs the filter at each proposed parameter value).
 
         Resampling is ADAPTIVE (fires when ESS < ess_threshold * K) and
         realized with `lax.cond`, so steps that keep their weights skip
@@ -71,7 +77,7 @@ class BootstrapFilter(Pytree):
         init_keys = jax.random.split(k_init, n)
         init_trs, init_ws = jax.vmap(
             lambda k: self.init_model.importance(
-                k, ChoiceMap.kw(**{self.obs_addr: obs0}), ()
+                k, ChoiceMap.kw(**{self.obs_addr: obs0}), model_args
             )
         )(init_keys)
         z = init_trs.get_retval()
@@ -83,7 +89,7 @@ class BootstrapFilter(Pytree):
             prop_keys = jax.random.split(k_prop, n)
             trs, ws = jax.vmap(
                 lambda k, z_i: self.step_model.importance(
-                    k, ChoiceMap.kw(**{self.obs_addr: obs_t}), (z_i, t)
+                    k, ChoiceMap.kw(**{self.obs_addr: obs_t}), (z_i, t, *model_args)
                 )
             )(prop_keys, z)
             z_new = trs.get_retval()
