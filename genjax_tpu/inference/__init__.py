@@ -4,6 +4,7 @@ from genjax_tpu.inference import (
     adaptation,
     diagnostics,
     mcmc,
+    particle_gibbs,
     pmmh,
     requests,
     smc,
@@ -33,6 +34,7 @@ __all__ = [
     "Target",
     "marginal",
     "mcmc",
+    "particle_gibbs",
     "pmmh",
     "requests",
     "smc",

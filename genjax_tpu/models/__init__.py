@@ -9,6 +9,12 @@ from genjax_tpu.models.ssm import (
     run_bootstrap_filter,
     simulate_ssm_data,
 )
+from genjax_tpu.models.stochvol import (
+    make_sv_filter,
+    run_sv_pmmh,
+    simulate_sv_data,
+    sv_log_prior,
+)
 
 __all__ = [
     "beta_bernoulli",
@@ -22,6 +28,10 @@ __all__ = [
     "run_is_mh",
     "run_mala_chains",
     "run_sir",
+    "make_sv_filter",
+    "run_sv_pmmh",
     "simulate_gmm_data",
     "simulate_ssm_data",
+    "simulate_sv_data",
+    "sv_log_prior",
 ]
