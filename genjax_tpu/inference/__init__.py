@@ -2,6 +2,7 @@
 
 from genjax_tpu.inference import (
     adaptation,
+    chees,
     diagnostics,
     mcmc,
     particle_gibbs,
@@ -29,6 +30,7 @@ __all__ = [
     "Algorithm",
     "Marginal",
     "adaptation",
+    "chees",
     "diagnostics",
     "SampleDistribution",
     "Target",
