@@ -4,6 +4,7 @@ from genjax_tpu.inference import (
     adaptation,
     chees,
     diagnostics,
+    map_laplace,
     mcmc,
     particle_gibbs,
     pmmh,
@@ -32,6 +33,7 @@ __all__ = [
     "adaptation",
     "chees",
     "diagnostics",
+    "map_laplace",
     "SampleDistribution",
     "Target",
     "marginal",
