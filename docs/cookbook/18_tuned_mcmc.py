@@ -60,6 +60,23 @@ def main():
     assert ess > 0.1 * post.size  # well-mixed, not a frozen resonance
     assert abs(float(jnp.var(post)) - 100.0) < 35.0
 
+    # --- 3b. ChEES: automatic trajectory lengths (the NUTS alternative
+    # that keeps a SIMD chain batch fully utilized) ---
+    from genjax_tpu.inference.chees import chees_warmup, run_chees_chains
+
+    keys2 = jax.random.split(jax.random.key(6), 128)
+    trs2 = jax.vmap(lambda k: aniso.simulate(k, ()))(keys2)
+    # no mass matrix: the trajectory length must grow to traverse the
+    # slow coordinate (optimum ~ pi * sigma_max / 2 ~ 15.7)
+    warmed2, tuned2 = jax.jit(
+        lambda k, t: chees_warmup(k, t, sel, n_steps=150, adapt_mass=False)
+    )(jax.random.key(7), trs2)
+    assert float(tuned2.trajectory_length) > 4.0
+    final2, _ = run_chees_chains(
+        jax.random.key(8), warmed2, sel, tuned2, 150
+    )
+    assert abs(float(jnp.var(final2.get_choices()["fast"])) - 100.0) < 50.0
+
     # --- 4. PMMH: learn a state-space model's parameter ---
     @gen
     def init_model(a):

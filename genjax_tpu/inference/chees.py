@@ -131,14 +131,30 @@ def _batch_dot(a, mu, b, im):
 
 
 def _chees_grad_logT(probs, q0, q1, p1, inv_mass, traj_t):
-    """Acceptance-weighted estimate of d ChEES / d log T from the batch."""
-    mu = jtu.tree_map(lambda v: jnp.mean(v, axis=0), q1)
-    delta = _batch_sq_dist(q1, mu) - _batch_sq_dist(q0, mu)
+    """Acceptance-weighted estimate of d ChEES / d log T from the batch.
+
+    Diverged trajectories carry inf/nan endpoints with acceptance
+    probability 0 — but 0 * inf is nan, so non-finite per-chain terms
+    must be zeroed EXPLICITLY or one divergence poisons the Adam state
+    for the rest of the warmup."""
+    zeros = jtu.tree_map(lambda v: jnp.zeros_like(v[0]), q1)
+    finite_mask = jnp.isfinite(_batch_sq_dist(q1, zeros))
+    safe_q1 = jtu.tree_map(
+        lambda v: jnp.where(
+            jnp.reshape(finite_mask, (-1,) + (1,) * (v.ndim - 1)), v, 0.0
+        ),
+        q1,
+    )
+    mu = jtu.tree_map(lambda v: jnp.mean(v, axis=0), safe_q1)
+    delta = _batch_sq_dist(safe_q1, mu) - _batch_sq_dist(q0, mu)
     im = _mass_tree(inv_mass, mu)
-    ddt = _batch_dot(q1, mu, p1, im)
+    ddt = _batch_dot(safe_q1, mu, p1, im)
     per_chain = delta * ddt
-    w = probs / (jnp.sum(probs) + 1e-12)
-    return jnp.sum(w * per_chain) * traj_t
+    w = jnp.where(finite_mask, probs, 0.0)
+    w = w / (jnp.sum(w) + 1e-12)
+    per_chain = jnp.where(jnp.isfinite(per_chain), per_chain, 0.0)
+    grad = jnp.sum(w * per_chain) * traj_t
+    return jnp.where(jnp.isfinite(grad), grad, 0.0)
 
 
 @Pytree.dataclass

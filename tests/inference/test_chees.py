@@ -78,6 +78,31 @@ class TestChEES:
         assert samples.shape == (150, 64)
         assert float(split_rhat(samples.T[:, 50:])) < 1.1
 
+    def test_divergences_do_not_poison_adaptation(self):
+        """Regression: a tiny-scale coordinate (sd 0.1) forces early
+        divergences (inf endpoints) while eps is still large; the ChEES
+        gradient must zero those chains' contributions explicitly —
+        0 * inf is nan, and one nan permanently wedges the Adam state
+        (T came back nan on every seed before the guard)."""
+
+        @gx.gen
+        def hard():
+            a = gx.normal(0.0, 0.1) @ "a"
+            b = gx.normal(0.0, 10.0) @ "b"
+
+        keys = jax.random.split(jax.random.key(11), 128)
+        trs = jax.vmap(lambda k: hard.simulate(k, ()))(keys)
+        sel = Selection.at["a"] | Selection.at["b"]
+        _, res = jax.jit(
+            lambda k, t: chees_warmup(
+                k, t, sel, n_steps=150, adapt_mass=False
+            )
+        )(jax.random.key(12), trs)
+        assert bool(jnp.isfinite(res.trajectory_length)), "T went nan"
+        # on a 100:1 conditioning ratio T must grow well past T0=1
+        assert float(res.trajectory_length) > 8.0
+        assert 0.45 < float(res.accept_rate) < 0.85
+
     def test_max_leapfrog_caps_work(self):
         keys = jax.random.split(jax.random.key(9), 32)
         trs = jax.vmap(lambda k: ill_conditioned.simulate(k, ()))(keys)
