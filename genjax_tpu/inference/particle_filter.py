@@ -44,10 +44,15 @@ class BootstrapFilter(Pytree):
     ess_threshold: float = Pytree.static(default=0.5)
 
     def run(
-        self, key: PRNGKey, observations: Any, model_args: tuple = ()
+        self, key: PRNGKey, observations: Any, model_args: tuple = (),
+        collect=None,
     ) -> tuple[FloatArray, Any]:
         """Filter the observation sequence; returns (log marginal
-        likelihood estimate, final particle states).
+        likelihood estimate, final particle states) — or, with `collect`,
+        `(lml, final_states, collected)` where `collect(z, log_weights)`
+        is evaluated at every time index (post-resampling state) and
+        stacked along a leading T axis (e.g. the filtering mean
+        `lambda z, lw: jnp.sum(jax.nn.softmax(lw) * z)`).
 
         `model_args` are extra (traced) arguments appended to both
         models' signatures — `init_model(*model_args)` and
@@ -119,12 +124,13 @@ class BootstrapFilter(Pytree):
                 lw,
                 lml,
             )
-            return (z_new, lw, lml, t + 1), None
+            out = collect(z_new, lw) if collect is not None else None
+            return (z_new, lw, lml, t + 1), out
 
         T = jtu.tree_leaves(observations)[0].shape[0]
         step_keys = jax.random.split(k_steps, T - 1)
         rest_obs = jtu.tree_map(lambda v: v[1:], observations)
-        (z_final, lw, lml, _), _ = jax.lax.scan(
+        (z_final, lw, lml, _), outs = jax.lax.scan(
             step,
             (z, init_ws, jnp.zeros(()), 1),
             (step_keys, rest_obs),
@@ -133,4 +139,13 @@ class BootstrapFilter(Pytree):
         # One final resample so the returned states are equally weighted
         # (the historical contract; a single gather amortized over T steps).
         anc = resampler(jax.random.fold_in(k_steps, T), lw, n)
-        return lml, take_rows(z_final, anc)
+        z_out = take_rows(z_final, anc)
+        if collect is None:
+            return lml, z_out
+        out0 = collect(z, init_ws)
+        collected = jtu.tree_map(
+            lambda a, rest: jnp.concatenate([a[None], rest], axis=0),
+            out0,
+            outs,
+        )
+        return lml, z_out, collected

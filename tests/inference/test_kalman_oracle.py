@@ -62,6 +62,35 @@ class TestKalmanOracle:
         )
 
 
+class TestFilteringCollect:
+    def test_collected_filtering_means_match_kalman(self):
+        a, q, r = 0.9, 0.5, 0.4
+        ys = jnp.array([0.3, 1.0, 0.5, -0.2, 0.8, 1.4, 0.9, 0.1])
+        init_model, step_model = linear_ssm_models(a, q, r)
+        pf = BootstrapFilter(step_model, init_model, 8192, obs_addr="y")
+        lml, _, means = jax.jit(
+            lambda k: pf.run(
+                k, ys,
+                collect=lambda z, lw: jnp.sum(jax.nn.softmax(lw) * z),
+            )
+        )(jax.random.key(0))
+        # Kalman filtering means oracle
+        mu, p = 0.0, 1.0
+        kf = []
+        for t, y in enumerate(ys):
+            if t:
+                mu, p = a * mu, a**2 * p + q**2
+            s = p + r**2
+            k = p / s
+            mu = mu + k * (y - mu)
+            p = (1 - k) * p
+            kf.append(mu)
+        kf = jnp.array(kf)
+        assert means.shape == ys.shape
+        assert float(jnp.max(jnp.abs(means - kf))) < 0.05
+        assert bool(jnp.isfinite(lml))
+
+
 class TestGibbs:
     def test_gibbs_chain_converges(self):
         @gen
