@@ -9,6 +9,7 @@ from genjax_tpu.inference import (
     particle_gibbs,
     pmmh,
     requests,
+    sample,
     smc,
     tempered,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "particle_gibbs",
     "pmmh",
     "requests",
+    "sample",
     "smc",
     "tempered",
     *_vi,

@@ -1,0 +1,150 @@
+"""One-call posterior sampling: init -> warmup -> sample -> diagnose.
+
+Beyond the reference (whose users hand-roll importance init, tuning, MH
+loops, and convergence checks — its tests do exactly that,
+`tests/inference/test_requests.py:94-141`): `sample_posterior` wires the
+framework's pieces into the standard workflow in one call, the way a
+production user expects —
+
+1. a chain batch initialized by vmapped `importance` under the
+   constraint (independent overdispersed starts),
+2. warmup (`adaptation.warmup_chains` for HMC/MALA, `chees.chees_warmup`
+   for automatic trajectory lengths),
+3. sampling with the tuned kernel,
+4. split R-hat and ESS on every collected latent.
+
+Everything stays one compiled program per phase; chains vectorize with
+vmap and shard over a mesh via GSPMD (jit with a sharded chain axis —
+tests/parallel/test_sharded_warmup.py).
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from genjax_tpu.core.choice_map import ChoiceMap, Selection
+from genjax_tpu.core.gfi import GenerativeFunction
+from genjax_tpu.core.pytree import Pytree
+from genjax_tpu.core.typing import FloatArray, PRNGKey
+
+__all__ = ["PosteriorSamples", "sample_posterior"]
+
+
+@Pytree.dataclass
+class PosteriorSamples(Pytree):
+    """Sampling result: `samples` is a pytree of `(n_chains, n_samples,
+    ...)` arrays (one per selected address), with matching per-leaf
+    `rhat`/`ess` diagnostics and the warmup's tuned kernel parameters."""
+
+    samples: Any
+    rhat: Any
+    ess: Any
+    accept_rate: FloatArray
+    tuned: Any
+
+    def flat(self):
+        """Samples flattened to `(n_chains * n_samples, ...)` per leaf."""
+        return jtu.tree_map(
+            lambda v: v.reshape((-1,) + v.shape[2:]), self.samples
+        )
+
+
+def sample_posterior(
+    key: PRNGKey,
+    model: GenerativeFunction[Any],
+    constraint: ChoiceMap,
+    args: tuple = (),
+    *,
+    selection: Selection | None = None,
+    algorithm: str = "chees",
+    n_chains: int = 64,
+    n_warmup: int = 200,
+    n_samples: int = 500,
+    L: int = 10,
+    thin_burn: int = 0,
+) -> PosteriorSamples:
+    """Sample `p(latents | constraint)` for `model(*args)`.
+
+    `selection` defaults to every unconstrained address (the latents);
+    the selected choices must be continuous (gradient-based kernels).
+    `algorithm` is `"chees"` (automatic trajectory lengths, default),
+    `"hmc"` (fixed L with trajectory jitter), or `"mala"`.
+
+    >>> import jax, jax.numpy as jnp
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu.inference.sample import sample_posterior
+    >>> @gx.gen
+    ... def model():
+    ...     mu = gx.normal(0.0, 1.0) @ "mu"
+    ...     _ = gx.normal(mu, 1.0) @ "obs"
+    >>> out = sample_posterior(
+    ...     jax.random.key(0), model, gx.ChoiceMap.kw(obs=1.0),
+    ...     n_chains=32, n_warmup=60, n_samples=80, algorithm="hmc", L=5)
+    >>> out.samples["mu"].shape
+    (32, 80)
+    >>> bool(out.rhat["mu"] < 1.1), bool(abs(jnp.mean(out.samples["mu"]) - 0.5) < 0.2)
+    (True, True)
+    """
+    from genjax_tpu.inference.diagnostics import (
+        effective_sample_size,
+        split_rhat,
+    )
+
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    keys = jax.random.split(k_init, n_chains)
+    traces, _ = jax.vmap(
+        lambda k: model.importance(k, constraint, args)
+    )(keys)
+    if selection is None:
+        selection = ~constraint.get_selection()
+
+    def collect(tr):
+        return tr.get_choices().filter(selection)
+
+    if algorithm == "chees":
+        from genjax_tpu.inference.chees import chees_warmup, run_chees_chains
+
+        traces, tuned = chees_warmup(
+            k_warm, traces, selection, n_steps=n_warmup
+        )
+        # run_chees_chains collects on the BATCH per step: (steps, chains,
+        # ...) — transpose to the (chains, steps, ...) diagnostics layout.
+        _, collected = run_chees_chains(
+            k_run, traces, selection, tuned, n_samples, collect=collect
+        )
+        samples = jtu.tree_map(lambda v: jnp.swapaxes(v, 0, 1), collected)
+        accept = tuned.accept_rate
+    elif algorithm in ("hmc", "mala"):
+        from genjax_tpu.inference.adaptation import warmup_chains
+        from genjax_tpu.inference.mcmc import run_chains
+        from genjax_tpu.inference.requests import HMC, MALA
+
+        traces, tuned = warmup_chains(
+            k_warm, traces, selection, n_steps=n_warmup,
+            algorithm=algorithm, L=L,
+        )
+        if algorithm == "hmc":
+            req = HMC(selection, tuned.eps, L, tuned.inv_mass, jitter=0.2)
+        else:
+            req = MALA(selection, tuned.eps, tuned.inv_mass)
+        _, samples = run_chains(
+            k_run, traces, req, n_samples, collect=collect
+        )
+        accept = tuned.accept_rate
+    else:
+        raise ValueError(
+            f"sample_posterior: unknown algorithm {algorithm!r}; expected "
+            "'chees', 'hmc', or 'mala'."
+        )
+
+    if thin_burn:
+        samples = jtu.tree_map(lambda v: v[:, thin_burn:], samples)
+    return PosteriorSamples(
+        samples=samples,
+        rhat=split_rhat(samples),
+        ess=effective_sample_size(samples),
+        accept_rate=accept,
+        tuned=tuned,
+    )
