@@ -8,6 +8,7 @@ from genjax_tpu.inference import (
     mcmc,
     particle_gibbs,
     pmmh,
+    psis,
     requests,
     sample,
     smc,
@@ -41,6 +42,7 @@ __all__ = [
     "mcmc",
     "particle_gibbs",
     "pmmh",
+    "psis",
     "requests",
     "sample",
     "smc",

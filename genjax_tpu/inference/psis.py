@@ -1,0 +1,143 @@
+"""Pareto-smoothed importance sampling (PSIS) weight diagnostics.
+
+Beyond the reference (which reports importance weights raw): PSIS
+(Vehtari, Simpson, Gelman, Yao & Gabry 2024, JMLR 25(72), "Pareto
+smoothed importance sampling") both DIAGNOSES an importance sampler and
+STABILIZES it — fit a generalized Pareto distribution (GPD) to the
+largest weights, report its shape k-hat (k < 0.7: estimates reliable;
+k >= 0.7: the proposal misses too much tail mass to trust), and replace
+the tail weights by the fitted quantiles to cut variance without
+(materially) biasing means.
+
+All fixed-shape, sort-plus-reductions JAX: the tail is selected by one
+`lax.top_k`, and the GPD fit is the Zhang & Stephens (2009) profile
+posterior evaluated on a fixed quadrature grid — a (grid x tail) dense
+broadcast, no Newton iterations, jit/vmap-friendly. Use it on any
+log-weight vector: `ImportanceK` particle weights, `ParticleCollection`
+weights, IWELBO sample weights.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from genjax_tpu.core.typing import FloatArray
+
+__all__ = ["fit_gpd_shape", "psis_smooth", "pareto_k"]
+
+_GRID = 128
+
+
+def fit_gpd_shape(tail: FloatArray) -> tuple[FloatArray, FloatArray]:
+    """Fit a generalized Pareto to `tail` (exceedances over a threshold,
+    ascending or not; must be positive). Returns `(k, sigma)`.
+
+    Zhang & Stephens (2009): parameterize by theta = k/sigma... more
+    precisely profile the likelihood over theta = -xi/sigma via the
+    identity k(theta) = -mean(log1p(-theta * x)), evaluate the profile
+    log-likelihood on a fixed quadrature grid of theta, and average theta
+    under the normalized profile weights (a quasi-posterior mean, more
+    stable than the MLE). Fixed shapes: one (grid, n) broadcast.
+    """
+    x = jnp.asarray(tail, dtype=jnp.result_type(float))
+    n = x.shape[0]
+    x_max = jnp.max(x)
+    # quantile-anchored grid of theta < 1/x_max (Zhang-Stephens eq. at
+    # m = _GRID points); x_star = 25th-percentile-based anchor
+    m = _GRID
+    x_star = jnp.percentile(x, 25.0)
+    j = jnp.arange(1, m + 1, dtype=x.dtype)
+    theta = 1.0 / x_max + (1.0 - jnp.sqrt(m / (j - 0.5))) / (3.0 * x_star)
+
+    def profile_ll(th):
+        # k(th) = mean log(1 - th x): th and k always have opposite
+        # signs, so -th/k > 0 and sigma = -k/th > 0. Guard k == 0
+        # (degenerate all-equal tails; the caller screens these).
+        k = jnp.mean(jnp.log1p(-th * x))
+        k = jnp.where(k == 0.0, -jnp.sign(th) * 1e-30, k)
+        return n * (jnp.log(-th / k) - k - 1.0)
+
+    lls = jax.vmap(profile_ll)(theta)
+    w = jax.nn.softmax(lls)
+    theta_hat = jnp.sum(w * theta)
+    k_hat = jnp.mean(jnp.log1p(-theta_hat * x))
+    sigma_hat = -k_hat / theta_hat
+    # small-sample bias regularization (Vehtari et al. 2024, app. C:
+    # shrink toward 0.5 with prior weight 10)
+    k_hat = (n * k_hat + 5.0) / (n + 10.0)
+    return k_hat, sigma_hat
+
+
+def _tail_size(n: int) -> int:
+    import math
+
+    # python math, NOT jnp: this must stay a static shape under jit
+    return int(min(0.2 * n, 3.0 * math.sqrt(n)))
+
+
+def pareto_k(log_weights: FloatArray) -> FloatArray:
+    """The PSIS k-hat diagnostic of an importance-weight vector.
+
+    Rule of thumb (Vehtari et al. 2024): k < 0.5 excellent, k < 0.7
+    usable, k >= 0.7 unreliable (the proposal's tails are too light for
+    the target — add particles, improve the proposal, or temper).
+
+    >>> import jax
+    >>> from genjax_tpu.inference.psis import pareto_k
+    >>> lw = jax.random.normal(jax.random.key(0), (4000,))  # lognormal w
+    >>> float(pareto_k(lw)) < 0.5  # thin-tailed: safely below 0.7
+    True
+    """
+    _, k = psis_smooth(log_weights)
+    return k
+
+
+def psis_smooth(
+    log_weights: FloatArray,
+) -> tuple[FloatArray, FloatArray]:
+    """Pareto-smooth a log-weight vector; returns `(smoothed_log_weights,
+    k_hat)`. The M largest weights (M = min(n/5, 3*sqrt(n))) are replaced
+    by the expected order statistics of the fitted GPD, capped at the
+    raw maximum; all other weights pass through. Total mass is NOT
+    renormalized (do `logsumexp` yourself as usual).
+
+    >>> import jax, jax.numpy as jnp
+    >>> from genjax_tpu.inference.psis import psis_smooth
+    >>> lw = 2.0 * jax.random.normal(jax.random.key(1), (4000,))
+    >>> sm, k = psis_smooth(lw)
+    >>> bool(jnp.max(sm) <= jnp.max(lw) + 1e-5)  # smoothing never inflates
+    True
+    >>> sm.shape
+    (4000,)
+    """
+    lw = jnp.asarray(log_weights, dtype=jnp.result_type(float))
+    n = lw.shape[0]
+    m = _tail_size(n)
+    if m < 5:
+        return lw, jnp.asarray(jnp.inf, lw.dtype)
+
+    # stabilize: work with w / max(w)
+    lw_shift = lw - jnp.max(lw)
+    top_vals, top_idx = jax.lax.top_k(lw_shift, m + 1)
+    # threshold = (m+1)-th largest; tail = top m exceedances over it
+    cutoff = top_vals[m]
+    tail_lw = top_vals[:m]
+    exceed = jnp.exp(tail_lw) - jnp.exp(cutoff)
+    # Degenerate tail (all weights essentially equal — e.g. the proposal
+    # IS the target): nothing to fit; report k = -inf (best case) and
+    # leave the weights untouched.
+    degenerate = jnp.max(exceed) <= 1e-10
+    k_fit, sigma = fit_gpd_shape(jnp.where(degenerate, exceed + 1.0, exceed))
+
+    # expected order statistics: GPD quantiles at p_j = (j - 1/2) / m,
+    # assigned largest-quantile -> largest original weight (top_k sorts
+    # descending; quantiles ascend with j, so reverse).
+    p = (jnp.arange(1, m + 1, dtype=lw.dtype) - 0.5) / m
+    q = jnp.exp(cutoff) + (sigma / k_fit) * (jnp.power(1.0 - p, -k_fit) - 1.0)
+    q = jnp.minimum(q, jnp.exp(top_vals[0]))  # never exceed the raw max
+    smoothed_tail = jnp.where(degenerate, tail_lw, jnp.log(q)[::-1])
+
+    # scatter into the ORIGINAL vector so untouched entries round-trip
+    # bit-exactly (lw - max + max does not)
+    out = lw.at[top_idx[:m]].set(smoothed_tail + jnp.max(lw))
+    k = jnp.where(degenerate, -jnp.inf, k_fit)
+    return out, k

@@ -1,0 +1,85 @@
+"""PSIS: GPD shape recovery on exact Pareto samples, k-hat ordering on
+Gaussian importance problems with known tail indices, variance reduction
+without material bias, and edge cases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genjax_tpu.inference.psis import fit_gpd_shape, pareto_k, psis_smooth
+
+
+def gpd_samples(rng, n, k):
+    u = rng.uniform(size=n)
+    if k == 0:
+        return -np.log(1 - u)
+    return (np.power(1 - u, -k) - 1) / k
+
+
+def gaussian_is_logw(rng, n, target_sd):
+    """log w for proposal N(0,1), target N(0, target_sd); the weight
+    tail index is k = 1 - 1/target_sd^2."""
+    x = rng.normal(size=n)
+    lw = -0.5 * x**2 / target_sd**2 - np.log(target_sd) + 0.5 * x**2
+    return jnp.asarray(lw), x
+
+
+class TestGPDFit:
+    def test_shape_recovery_across_regimes(self):
+        rng = np.random.default_rng(0)
+        for k_true in [-0.3, 0.1, 0.5, 0.9]:
+            x = gpd_samples(rng, 4000, k_true)
+            k, sigma = fit_gpd_shape(jnp.asarray(x))
+            assert abs(float(k) - k_true) < 0.08, (k_true, float(k))
+            assert abs(float(sigma) - 1.0) < 0.1, (k_true, float(sigma))
+
+
+class TestParetoK:
+    def test_orders_proposal_quality(self):
+        rng = np.random.default_rng(1)
+        ks = []
+        for sd in [1.2, 2.0, 4.0]:
+            lw, _ = gaussian_is_logw(rng, 8000, sd)
+            ks.append(float(pareto_k(lw)))
+        # worse proposals -> larger k (theory: 0.31, 0.75, 0.94)
+        assert ks[0] < ks[1] < ks[2], ks
+        assert ks[0] < 0.6 and ks[2] > 0.7
+
+    def test_equal_weights_reports_minus_inf(self):
+        sm, k = psis_smooth(jnp.zeros(4000))
+        assert float(k) == -jnp.inf
+        assert bool(jnp.allclose(sm, 0.0))
+
+    def test_thin_tail_safe(self):
+        lw = jax.random.normal(jax.random.key(0), (4000,))
+        assert float(pareto_k(lw)) < 0.5
+
+
+class TestSmoothing:
+    def test_never_inflates_and_preserves_body(self):
+        lw = 2.0 * jax.random.normal(jax.random.key(1), (4000,))
+        sm, _ = jax.jit(psis_smooth)(lw)
+        assert float(jnp.max(sm)) <= float(jnp.max(lw)) + 1e-5
+        # only the tail moved: the untouched fraction is > 95%
+        moved = jnp.sum(jnp.abs(sm - lw) > 1e-7)
+        assert int(moved) <= int(0.05 * 4000)
+
+    def test_variance_reduction_small_bias(self):
+        # In the USABLE regime (k ~ 0.56 here): big variance cut, small
+        # bias. (In the k > 0.7 regime PSIS itself flags the estimate as
+        # unreliable, and capping the tail necessarily biases down —
+        # that's the advertised tradeoff, not a bug.)
+        rng = np.random.default_rng(2)
+        raw_means, sm_means = [], []
+        for _ in range(60):
+            lw, x = gaussian_is_logw(rng, 2000, 1.5)
+            w = np.exp(np.asarray(lw - jnp.max(lw)))
+            raw_means.append(np.sum(w * x**2) / np.sum(w))
+            sm, _ = psis_smooth(lw)
+            ws = np.exp(np.asarray(sm - jnp.max(sm)))
+            sm_means.append(np.sum(ws * x**2) / np.sum(ws))
+        raw_means, sm_means = np.array(raw_means), np.array(sm_means)
+        # E[x^2] under the target = 2.25 (measured: raw 2.29+-0.69,
+        # psis 2.12+-0.23 — a 3x sd cut for ~0.13 bias)
+        assert np.std(sm_means) < 0.6 * np.std(raw_means)
+        assert abs(np.mean(sm_means) - 2.25) < 0.3
