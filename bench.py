@@ -101,7 +101,50 @@ def handwritten_sir(beta_sampler=None):
     return run
 
 
+def _wait_for_device(max_wait_s: float = 1200.0, probe_timeout_s: float = 90.0):
+    """Gate on device health before any in-process backend init.
+
+    The tunneled TPU backend can be transiently unavailable (observed:
+    multi-hour outages where even a bare matmul hangs); a hung first op
+    would eat the caller's entire timeout with no diagnostics. Probe in
+    a SUBPROCESS (so a hang is killable), retry with messages, and exit
+    nonzero if the device never comes back — an honest fast failure
+    beats a silent hang."""
+    import subprocess
+
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp; "
+        "x = jnp.ones((64, 64)) @ jnp.ones((64, 64)); "
+        "print(float(np.asarray(x[0, 0])))"
+    )
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"device probe: recovered on attempt {attempt}")
+                return
+            log(f"device probe attempt {attempt}: exit {r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"device probe attempt {attempt}: hung >{probe_timeout_s:.0f}s")
+        if time.monotonic() > deadline:
+            log(
+                f"device unavailable after {max_wait_s:.0f}s of probing; "
+                "refusing to hang — no benchmark result produced."
+            )
+            sys.exit(2)
+        time.sleep(30.0)
+
+
 def main():
+    _wait_for_device()
     key = jax.random.key(0)
     backend = jax.default_backend()
     log(f"backend: {backend}, device: {jax.devices()[0]}")
