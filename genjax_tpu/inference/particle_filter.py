@@ -46,7 +46,7 @@ class BootstrapFilter(Pytree):
     def run(
         self, key: PRNGKey, observations: Any, model_args: tuple = (),
         collect=None,
-    ) -> tuple[FloatArray, Any]:
+    ) -> "tuple[FloatArray, Any] | tuple[FloatArray, Any, Any]":
         """Filter the observation sequence; returns (log marginal
         likelihood estimate, final particle states) — or, with `collect`,
         `(lml, final_states, collected)` where `collect(z, log_weights)`

@@ -41,6 +41,7 @@ from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.staging import where_tree
 from genjax_tpu.core.typing import PRNGKey
 from genjax_tpu.inference.particle_filter import BootstrapFilter
+from genjax_tpu.inference.pmmh import _walk
 
 __all__ = ["ParticleGibbs", "csmc_sweep"]
 
@@ -283,17 +284,7 @@ class ParticleGibbs(Pytree):
             def one(carry, kk):
                 theta, lj, lp = carry
                 k1, k2 = jrand.split(kk)
-                leaves_ct = len(jtu.tree_leaves(theta))
-                seeds = jtu.tree_unflatten(
-                    jtu.tree_structure(theta), list(range(leaves_ct))
-                )
-                theta_p = jtu.tree_map(
-                    lambda v, s, sc: v
-                    + sc * jrand.normal(jrand.fold_in(k1, s), jnp.shape(v)),
-                    theta,
-                    seeds,
-                    scales,
-                )
+                theta_p = _walk(k1, theta, scales)
                 lj_p = path_log_joint(
                     self.filter, path, observations, (theta_p,), la
                 )

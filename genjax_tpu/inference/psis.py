@@ -31,12 +31,13 @@ def fit_gpd_shape(tail: FloatArray) -> tuple[FloatArray, FloatArray]:
     """Fit a generalized Pareto to `tail` (exceedances over a threshold,
     ascending or not; must be positive). Returns `(k, sigma)`.
 
-    Zhang & Stephens (2009): parameterize by theta = k/sigma... more
-    precisely profile the likelihood over theta = -xi/sigma via the
-    identity k(theta) = -mean(log1p(-theta * x)), evaluate the profile
-    log-likelihood on a fixed quadrature grid of theta, and average theta
-    under the normalized profile weights (a quasi-posterior mean, more
-    stable than the MLE). Fixed shapes: one (grid, n) broadcast.
+    Zhang & Stephens (2009): profile the likelihood over theta (the grid
+    variable, = -xi/sigma) via the identity k(theta) =
+    mean(log1p(-theta * x)) — theta and k always take opposite signs, so
+    sigma = -k/theta > 0 — evaluate the profile log-likelihood on a
+    fixed quadrature grid of theta, and average theta under the
+    normalized profile weights (a quasi-posterior mean, more stable than
+    the MLE). Fixed shapes: one (grid, n) broadcast.
     """
     x = jnp.asarray(tail, dtype=jnp.result_type(float))
     n = x.shape[0]
@@ -80,6 +81,9 @@ def pareto_k(log_weights: FloatArray) -> FloatArray:
     Rule of thumb (Vehtari et al. 2024): k < 0.5 excellent, k < 0.7
     usable, k >= 0.7 unreliable (the proposal's tails are too light for
     the target — add particles, improve the proposal, or temper).
+    With fewer than 25 weights the tail is too small to fit and the
+    diagnostic reports +inf — read it as "cannot certify" (too few
+    samples), not as a certified tail problem.
 
     >>> import jax
     >>> from genjax_tpu.inference.psis import pareto_k
@@ -98,7 +102,9 @@ def psis_smooth(
     k_hat)`. The M largest weights (M = min(n/5, 3*sqrt(n))) are replaced
     by the expected order statistics of the fitted GPD, capped at the
     raw maximum; all other weights pass through. Total mass is NOT
-    renormalized (do `logsumexp` yourself as usual).
+    renormalized (do `logsumexp` yourself as usual). Vectors with fewer
+    than 25 entries are returned untouched with k = +inf (tail too small
+    to fit — see `pareto_k`).
 
     >>> import jax, jax.numpy as jnp
     >>> from genjax_tpu.inference.psis import psis_smooth

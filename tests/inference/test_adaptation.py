@@ -80,11 +80,18 @@ class TestCrossChainInvMass:
         assert abs(float(im["b"]) - 100.0) < 15.0
 
     def test_shared_leaves_fall_back_to_unit(self):
-        # A selection matching nothing batched: filter yields empty; the
-        # function must not crash and must return a (possibly empty) tree.
+        # A leaf WITHOUT the expected chain axis (leading dim != the
+        # declared n_chains, as in shared-args layouts) has no
+        # cross-chain spread to measure: the estimator must fall back to
+        # unit mass for it, not crash or mis-shape.
         trs = chain_batch(aniso, jax.random.key(1), 8)
-        im = cross_chain_inv_mass(trs, Selection.at["a"])
-        assert float(im["a"]) > 0.0
+        im = cross_chain_inv_mass(trs, Selection.at["a"], n_chains=16)
+        assert im["a"].shape == (8,)
+        assert bool(jnp.all(im["a"] == 1.0))
+        # and the normal batched path still measures variance
+        im2 = cross_chain_inv_mass(trs, Selection.at["a"], n_chains=8)
+        assert im2["a"].shape == ()
+        assert 0.0 < float(im2["a"]) < 1.0
 
 
 class TestWarmupHMC:
