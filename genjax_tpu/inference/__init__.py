@@ -4,6 +4,7 @@ from genjax_tpu.inference import (
     adaptation,
     chees,
     diagnostics,
+    kalman,
     map_laplace,
     mcmc,
     particle_gibbs,
@@ -35,6 +36,7 @@ __all__ = [
     "adaptation",
     "chees",
     "diagnostics",
+    "kalman",
     "map_laplace",
     "SampleDistribution",
     "Target",
