@@ -10,6 +10,7 @@ from genjax_tpu.inference import (
     particle_gibbs,
     pmmh,
     psis,
+    rbpf,
     requests,
     sample,
     smc,
@@ -45,6 +46,7 @@ __all__ = [
     "particle_gibbs",
     "pmmh",
     "psis",
+    "rbpf",
     "requests",
     "sample",
     "smc",

@@ -23,7 +23,29 @@ import jax.numpy as jnp
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.typing import FloatArray, PRNGKey
 
-__all__ = ["LinearGaussianSSM"]
+__all__ = ["LinearGaussianSSM", "kalman_predict_update"]
+
+
+def kalman_predict_update(A, Q, H, R, mu, P, y, predict=True):
+    """One Kalman step: (optionally) predict through (A, Q), then update
+    on `y` through (H, R). Returns `(mu', P', log p(y | past))` — the
+    innovation log-likelihood that particle-filter weights (and the LML)
+    are built from. Pure dense algebra; vmap over particles freely."""
+    mu_pred = jnp.where(predict, A @ mu, mu)
+    P_pred = jnp.where(predict, A @ P @ A.T + Q, P)
+    S = H @ P_pred @ H.T + R
+    resid = y - H @ mu_pred
+    chol = jnp.linalg.cholesky(S)
+    white = jax.scipy.linalg.solve_triangular(chol, resid, lower=True)
+    ll = (
+        -0.5 * jnp.sum(white**2)
+        - jnp.sum(jnp.log(jnp.diagonal(chol)))
+        - 0.5 * H.shape[0] * jnp.log(2.0 * jnp.pi)
+    )
+    K = P_pred @ jax.scipy.linalg.cho_solve((chol, True), H).T
+    mu_new = mu_pred + K @ resid
+    P_new = (jnp.eye(P.shape[0]) - K @ H) @ P_pred
+    return mu_new, P_new, ll
 
 
 def _at_least_2d(M, d):
@@ -95,24 +117,12 @@ class LinearGaussianSSM(Pytree):
         def step(carry, inp):
             mu, P, t = carry
             y = inp
-            mu_pred = jnp.where(t == 0, mu, A @ mu)
-            P_pred = jnp.where(t == 0, P, A @ P @ A.T + Q)
-            # observe
-            S = H @ P_pred @ H.T + R
-            resid = y - H @ mu_pred
-            chol = jnp.linalg.cholesky(S)
-            white = jax.scipy.linalg.solve_triangular(chol, resid, lower=True)
-            ll = (
-                -0.5 * jnp.sum(white**2)
-                - jnp.sum(jnp.log(jnp.diagonal(chol)))
-                - 0.5 * p * jnp.log(2.0 * jnp.pi)
+            mu_new, P_new, ll = kalman_predict_update(
+                A, Q, H, R, mu, P, y, predict=(t != 0)
             )
-            K = P_pred @ jax.scipy.linalg.cho_solve((chol, True), H).T
-            mu_new = mu_pred + K @ resid
-            P_new = (jnp.eye(P.shape[0]) - K @ H) @ P_pred
-            return (mu_new, P_new, t + 1), (mu_new, P_new, mu_pred, P_pred, ll)
+            return (mu_new, P_new, t + 1), (mu_new, P_new, ll)
 
-        (_, _, _), (mus, Ps, _, _, lls) = jax.lax.scan(
+        (_, _, _), (mus, Ps, lls) = jax.lax.scan(
             step, (self.mu0, self.P0, 0), ys
         )
         return mus, Ps, jnp.sum(lls)
