@@ -14,6 +14,7 @@ from genjax_tpu.inference import (
     requests,
     sample,
     smc,
+    smoothing,
     tempered,
 )
 from genjax_tpu.inference.sp import (
@@ -50,6 +51,7 @@ __all__ = [
     "requests",
     "sample",
     "smc",
+    "smoothing",
     "tempered",
     *_vi,
 ]

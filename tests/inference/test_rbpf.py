@@ -88,6 +88,51 @@ class TestRBPF:
             float(jnp.mean(pf_lmls)),
         )
 
+    def test_discrete_switching_regimes(self):
+        """The z-kernel can be DISCRETE (regime switching — the classic
+        RBPF application): matrices select on the regime index."""
+        p_stay = 0.9
+
+        @gen
+        def sw_init():
+            return gx.categorical(jnp.log(jnp.array([0.5, 0.5]))) @ "z"
+
+        @gen
+        def sw_step(z_prev, t):
+            logits = jnp.where(
+                z_prev == 0,
+                jnp.log(jnp.array([p_stay, 1 - p_stay])),
+                jnp.log(jnp.array([1 - p_stay, p_stay])),
+            )
+            return gx.categorical(logits) @ "z"
+
+        def sw_lgss(z):
+            r = jnp.where(z == 0, 0.2, 1.0)
+            return LinearGaussianSSM.build(a=0.95, q=0.3, h=1.0, r=r, d=1)
+
+        # data from a fixed known regime sequence: half quiet, half noisy
+        key = jax.random.key(7)
+        T = 40
+        true_z = jnp.concatenate([jnp.zeros(T // 2), jnp.ones(T // 2)])
+        x = 0.5
+        ys = []
+        for t in range(T):
+            if t:
+                x = 0.95 * x + 0.3 * float(
+                    jax.random.normal(jax.random.fold_in(key, 2 * t))
+                )
+            r = 0.2 if true_z[t] == 0 else 1.0
+            ys.append(
+                x + r * float(jax.random.normal(jax.random.fold_in(key, 2 * t + 1)))
+            )
+        ys = jnp.array(ys)[:, None]
+
+        rb = RaoBlackwellFilter(sw_step, sw_init, sw_lgss, 512)
+        lml, (zf, _, _) = jax.jit(rb.run)(jax.random.key(8), ys)
+        assert bool(jnp.isfinite(lml))
+        # the filtered regime posterior at the end should favor regime 1
+        assert float(jnp.mean(zf)) > 0.6
+
     def test_variance_reduction_at_equal_particles(self):
         """The point of RB: at the SAME particle count, marginalizing the
         linear substate gives a lower-variance LML estimator than the
