@@ -221,3 +221,151 @@ def QWake(
         return wake_phi_loss.grad_estimate(k_walk, args)
 
     return grad_estimate
+
+
+# -- optimization driver and automatic guides (beyond the reference) ---------
+
+
+def fit(
+    key: PRNGKey,
+    grad_estimate: Callable[[PRNGKey, tuple], GradientEstimate],
+    init_params: tuple,
+    n_steps: int = 500,
+    optimizer: Any = None,
+):
+    """Run a variational objective to convergence: an optax loop inside
+    one `lax.scan` over the gradient estimator (the loop the reference's
+    users — and this repo's tests — hand-roll).
+
+    `grad_estimate` is any objective factory output (`ELBO(...)`,
+    `IWELBO(...)`, ...); `init_params` is the tuple of variational
+    parameters the objective's `make_target` consumes. Returns
+    `(params, grad_norm_history)`.
+    """
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(init_params)
+
+    def step(carry, step_key):
+        params, opt_state = carry
+        grads = grad_estimate(step_key, params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = jnp.sqrt(
+            sum(
+                jnp.sum(jnp.square(g))
+                for g in jax.tree_util.tree_leaves(grads)
+            )
+        )
+        return (params, opt_state), gnorm
+
+    keys = jax.random.split(key, n_steps)
+    (params, _), gnorms = jax.lax.scan(step, (init_params, opt_state), keys)
+    return params, gnorms
+
+
+def mean_field_guide(latent_specs):
+    """Build a mean-field Gaussian guide over flat real-valued latent
+    addresses. `latent_specs` is a dict `{address: shape}` (shapes () or
+    (n,)). The guide reads its parameters from the LAST target argument:
+    a dict `{address: {"mu": ..., "log_sigma": ...}}`."""
+    from genjax_tpu import gen, marginal
+
+    specs = tuple(sorted((str(a), tuple(s)) for a, s in latent_specs.items()))
+    for addr, shape in specs:
+        if len(shape) > 1:
+            raise NotImplementedError(
+                f"mean_field_guide: latent {addr!r} has rank-{len(shape)} "
+                "shape; only scalar and vector latents are supported "
+                "(reshape in the model, or write the guide by hand)."
+            )
+
+    @marginal()
+    @gen
+    def guide(target):
+        params = target.args[-1]
+        for addr, shape in specs:
+            mu = params[addr]["mu"]
+            sigma = jnp.exp(params[addr]["log_sigma"])
+            if shape == ():
+                _ = normal_reparam(mu, sigma) @ addr
+            else:
+                _ = mv_normal_diag_reparam(mu, sigma) @ addr
+
+    return guide
+
+
+def mean_field_init(latent_specs):
+    """Zero-initialized parameters for `mean_field_guide`."""
+    return {
+        str(a): {
+            "mu": jnp.zeros(tuple(s)),
+            "log_sigma": jnp.zeros(tuple(s)),
+        }
+        for a, s in latent_specs.items()
+    }
+
+
+def _discover_flat_latents(model, args, constraint):
+    """Top-level unconstrained addresses and shapes via a zero trace."""
+    import jax.tree_util as jtu
+
+    chm = model.get_zero_trace(*args).get_choices()
+    latents = chm.filter(~constraint.get_selection())
+    specs = {}
+    for path, leaf in jtu.tree_leaves_with_path(latents):
+        keys = [k.key for k in path if isinstance(k, jtu.DictKey)]
+        if len(keys) != 1:
+            raise NotImplementedError(
+                "advi: only flat (top-level) latent addresses are "
+                f"auto-guided; found nested path {path}. Write the guide "
+                "with mean_field_guide/by hand for nested models."
+            )
+        specs[keys[0]] = jnp.shape(leaf)
+    return specs
+
+
+def advi(
+    key: PRNGKey,
+    model: Any,
+    args: tuple,
+    constraint: Any,
+    n_steps: int = 1000,
+    optimizer: Any = None,
+):
+    """Automatic mean-field VI: discover the model's (flat, real-valued)
+    latent addresses from a zero trace, build a Gaussian guide, and fit
+    the ELBO. Returns `(params, guide, make_target, grad_norms)`;
+    posterior draws come from the fitted guide, e.g.::
+
+        params, guide, make_target, _ = advi(key, model, args, obs)
+        _, latents = guide.random_weighted(k2, make_target(params))
+    """
+    import jax.tree_util as jtu
+
+    specs = _discover_flat_latents(model, args, constraint)
+    guide = mean_field_guide(specs)
+    init = mean_field_init(specs)
+    # Variational params ride through the target args so ADEV
+    # differentiates them; the model itself ignores the extra argument.
+    # The ADEV transform passes objective arguments LEAF-WISE (pytrees
+    # are flattened before the staged source sees them), so the
+    # objective works on the flattened parameter leaves and the target
+    # constructor reassembles the dict.
+    wrapped = model.contramap(lambda *a: a[:-1])
+    leaves, treedef = jtu.tree_flatten(init)
+
+    def make_target(params):
+        return Target(wrapped, (*args, params), constraint)
+
+    def make_target_leafwise(*param_leaves):
+        return make_target(jtu.tree_unflatten(treedef, list(param_leaves)))
+
+    grad = ELBO(guide, make_target_leafwise)
+    flat, gnorms = fit(
+        key, grad, tuple(leaves), n_steps=n_steps, optimizer=optimizer
+    )
+    params = jtu.tree_unflatten(treedef, list(flat))
+    return params, guide, make_target, gnorms
