@@ -44,6 +44,21 @@ def main():
     assert jnp.abs(params[0] - 1.0) < 0.25
     assert jnp.abs(jnp.exp(params[1]) - 0.707) < 0.2
 
+    # --- or let the library do all of the above in one call ---
+    @gen
+    def plain_model():
+        mu = normal(0.0, 1.0) @ "mu"
+        _ = normal(mu, 1.0) @ "y"
+
+    auto_params, auto_guide, make_target, _ = vi.advi(
+        jax.random.key(2), plain_model, (), C.kw(y=2.0), n_steps=1500
+    )
+    assert jnp.abs(auto_params["mu"]["mu"] - 1.0) < 0.15
+    _, latents = auto_guide.random_weighted(
+        jax.random.key(3), make_target(auto_params)
+    )
+    assert jnp.isfinite(latents["mu"])
+
     print("vi cookbook OK")
 
 
