@@ -53,7 +53,7 @@ def main():
 
     # --- 3. FFBS smoothing: trajectories from the stored clouds ---
     _, clouds, lws = smoothing_clouds(pf, jax.random.key(2), ys)
-    paths = ffbs_sample(jax.random.key(3), pf, clouds, lws, 256)
+    paths = ffbs_sample(jax.random.key(3), pf, clouds, lws, 256, ys)
     est = np.asarray(paths).mean(axis=0)
     assert np.max(np.abs(est - np.asarray(ms_smooth)[:, 0])) < 0.15
 

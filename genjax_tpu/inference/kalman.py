@@ -26,11 +26,9 @@ from genjax_tpu.core.typing import FloatArray, PRNGKey
 __all__ = ["LinearGaussianSSM", "kalman_predict_update"]
 
 
-def kalman_predict_update(A, Q, H, R, mu, P, y, predict=True):
-    """One Kalman step: (optionally) predict through (A, Q), then update
-    on `y` through (H, R). Returns `(mu', P', log p(y | past))` — the
-    innovation log-likelihood that particle-filter weights (and the LML)
-    are built from. Pure dense algebra; vmap over particles freely."""
+def _predict_update_full(A, Q, H, R, mu, P, y, predict=True):
+    """Predict+update returning the predicted moments too (the smoother
+    needs them); the single source of the Kalman algebra."""
     mu_pred = jnp.where(predict, A @ mu, mu)
     P_pred = jnp.where(predict, A @ P @ A.T + Q, P)
     S = H @ P_pred @ H.T + R
@@ -45,6 +43,17 @@ def kalman_predict_update(A, Q, H, R, mu, P, y, predict=True):
     K = P_pred @ jax.scipy.linalg.cho_solve((chol, True), H).T
     mu_new = mu_pred + K @ resid
     P_new = (jnp.eye(P.shape[0]) - K @ H) @ P_pred
+    return mu_new, P_new, ll, mu_pred, P_pred
+
+
+def kalman_predict_update(A, Q, H, R, mu, P, y, predict=True):
+    """One Kalman step: (optionally) predict through (A, Q), then update
+    on `y` through (H, R). Returns `(mu', P', log p(y | past))` — the
+    innovation log-likelihood that particle-filter weights (and the LML)
+    are built from. Pure dense algebra; vmap over particles freely."""
+    mu_new, P_new, ll, _, _ = _predict_update_full(
+        A, Q, H, R, mu, P, y, predict=predict
+    )
     return mu_new, P_new, ll
 
 
@@ -52,6 +61,11 @@ def _at_least_2d(M, d):
     M = jnp.asarray(M, dtype=jnp.result_type(float))
     if M.ndim == 0:
         return M * jnp.eye(d)
+    if M.ndim == 1:
+        # a vector means per-dimension diagonal dynamics — passing it
+        # through raw would make A @ mu an inner product and silently
+        # corrupt every covariance via broadcasting
+        return jnp.diag(M)
     return M
 
 
@@ -85,27 +99,25 @@ class LinearGaussianSSM(Pytree):
         if p is None:
             p = d
         A = _at_least_2d(a, d)
-        Q = (
-            jnp.asarray(q, dtype=jnp.result_type(float)) ** 2 * jnp.eye(d)
-            if jnp.ndim(q) == 0
-            else jnp.asarray(q)
-        )
+        def noise_cov(v, n):
+            # scalar/vector inputs are per-dimension noise STDS; only a
+            # full matrix is taken as a covariance verbatim
+            v = jnp.asarray(v, dtype=jnp.result_type(float))
+            if v.ndim == 0:
+                return v**2 * jnp.eye(n)
+            if v.ndim == 1:
+                return jnp.diag(v**2)
+            return v
+
+        Q = noise_cov(q, d)
         H = (
             jnp.asarray(h, dtype=jnp.result_type(float)) * jnp.eye(p, d)
             if jnp.ndim(h) == 0
-            else jnp.asarray(h)
+            else _at_least_2d(h, d)
         )
-        R = (
-            jnp.asarray(r, dtype=jnp.result_type(float)) ** 2 * jnp.eye(p)
-            if jnp.ndim(r) == 0
-            else jnp.asarray(r)
-        )
+        R = noise_cov(r, p)
         mu0 = jnp.zeros(d) if mu0 is None else jnp.asarray(mu0)
-        P0 = (
-            jnp.asarray(p0, dtype=jnp.result_type(float)) ** 2 * jnp.eye(d)
-            if jnp.ndim(p0) == 0
-            else jnp.asarray(p0)
-        )
+        P0 = noise_cov(p0, d)
         return LinearGaussianSSM(A, Q, H, R, mu0, P0)
 
     def filter(self, ys: FloatArray):
@@ -137,16 +149,13 @@ class LinearGaussianSSM(Pytree):
         smoothed_covs (T, d, d))`."""
         A, Q = self.A, self.Q
 
-        # re-run the filter, keeping predicted moments
+        # re-run the filter, keeping predicted moments (one shared
+        # implementation of the Kalman algebra: _predict_update_full)
         def fstep(carry, y):
             mu, P, t = carry
-            mu_pred = jnp.where(t == 0, mu, A @ mu)
-            P_pred = jnp.where(t == 0, P, A @ P @ A.T + Q)
-            S = self.H @ P_pred @ self.H.T + self.R
-            chol = jnp.linalg.cholesky(S)
-            K = P_pred @ jax.scipy.linalg.cho_solve((chol, True), self.H).T
-            mu_new = mu_pred + K @ (y - self.H @ mu_pred)
-            P_new = (jnp.eye(P.shape[0]) - K @ self.H) @ P_pred
+            mu_new, P_new, _, mu_pred, P_pred = _predict_update_full(
+                A, Q, self.H, self.R, mu, P, y, predict=(t != 0)
+            )
             return (mu_new, P_new, t + 1), (mu_new, P_new, mu_pred, P_pred)
 
         _, (mus, Ps, mu_preds, P_preds) = jax.lax.scan(

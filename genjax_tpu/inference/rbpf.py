@@ -33,16 +33,17 @@ from genjax_tpu.core.gfi import GenerativeFunction
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.typing import FloatArray, PRNGKey
 from genjax_tpu.inference.kalman import LinearGaussianSSM, kalman_predict_update
-from genjax_tpu.inference.smc import ess, systematic_resample
+from genjax_tpu.inference.smc import RESAMPLERS, ess
 
 __all__ = ["RaoBlackwellFilter"]
 
 
 @Pytree.dataclass
 class RaoBlackwellFilter(Pytree):
-    """`z_init()` / `z_step(z_prev, t, *model_args)` are @gen kernels
-    over the nonlinear state (their retval is the new `z`; they trace no
-    observation — the observation density comes from the Kalman step).
+    """`z_init(*model_args)` / `z_step(z_prev, t, *model_args)` are @gen
+    kernels over the nonlinear state (their retval is the new `z`; they
+    trace no observation — the observation density comes from the Kalman
+    step).
     `lgss_of_z(z, *model_args) -> LinearGaussianSSM` supplies the linear
     substate's matrices given the current regime (only `A`, `Q`, `H`,
     `R` are read per step; `mu0`, `P0` seed the t=0 update).
@@ -52,6 +53,7 @@ class RaoBlackwellFilter(Pytree):
     z_init: GenerativeFunction[Any]
     lgss_of_z: Callable[..., LinearGaussianSSM] = Pytree.static()
     n_particles: int = Pytree.static()
+    resampling: str = Pytree.static(default="systematic")
     ess_threshold: float = Pytree.static(default=0.5)
 
     def run(
@@ -88,8 +90,19 @@ class RaoBlackwellFilter(Pytree):
 
             def _resample(z, mu, P, lw, lml):
                 lml = lml + logsumexp(lw) - jnp.log(float(n))
-                anc = systematic_resample(k_res, lw, n)
-                state = take_rows((z, mu, P), anc)
+                if self.resampling == "systematic":
+                    # same streaming-expansion fast path as
+                    # BootstrapFilter: no ancestor vector, no row gather
+                    from genjax_tpu.inference.smc import (
+                        systematic_cum_counts,
+                    )
+                    from genjax_tpu.ops.expand import expand_rows
+
+                    cum = systematic_cum_counts(k_res, lw, n)
+                    state = expand_rows((z, mu, P), cum, n_rows=n)
+                else:
+                    anc = RESAMPLERS[self.resampling](k_res, lw, n)
+                    state = take_rows((z, mu, P), anc)
                 return (*state, jnp.zeros_like(lw), lml)
 
             def _keep(z, mu, P, lw, lml):
@@ -121,6 +134,8 @@ class RaoBlackwellFilter(Pytree):
             step, (z, mu, P, lw, jnp.zeros(()), 1), (step_keys, rest)
         )
         lml = lml + logsumexp(lw) - jnp.log(float(n))
-        anc = systematic_resample(jax.random.fold_in(k_steps, T), lw, n)
+        anc = RESAMPLERS[self.resampling](
+            jax.random.fold_in(k_steps, T), lw, n
+        )
         z, mu, P = take_rows((z, mu, P), anc)
         return lml, (z, mu, P)

@@ -53,30 +53,37 @@ def ffbs_sample(
     clouds: Any,
     log_weights: FloatArray,
     n_paths: int,
+    observations: Any,
     model_args: tuple = (),
     latent_addr: str = "z",
 ):
     """Draw `n_paths` smoothed trajectories from stored filtering clouds.
 
     `clouds` / `log_weights` come from `smoothing_clouds` (leaves with
-    leading axes (T, K)). Returns a pytree with leading axes
-    `(n_paths, T)`. The step model's transition density is evaluated via
-    `assess` with the latent constrained — the observation site must
-    also be addressable, so the density is read off the same model the
-    filter ran (no separate transition-density plumbing).
+    leading axes (T, K)); `observations` is the same sequence the filter
+    ran on. Returns a pytree with leading axes `(n_paths, T)`.
+
+    Preconditions (the `BootstrapFilter` contract plus two FFBS-specific
+    ones): the step model's RETURN VALUE must equal the choice traced at
+    `latent_addr` (the stored cloud values are constrained back into the
+    model to read transition densities), and the observation density may
+    depend on the NEW latent only, not on `z_prev` (the observation term
+    must be constant across cloud members so it cancels in the backward
+    categorical — a `z_prev`-dependent emission would bias the weights).
     """
     T = jtu.tree_leaves(clouds)[0].shape[0]
     obs_addr = filter.obs_addr
 
-    # assess(step_model, {z: z_next, y: any}) = log f(z_next | z_i) +
-    # log g(y | z_next); the g term is constant across cloud members i,
-    # so it cancels inside the backward categorical. Use a zeros-like
-    # dummy observation of the right shape.
-    def trans_scores(z_next, cloud_t, t):
+    # assess(step_model, {z: z_next, y: y_t}) = log f(z_next | z_i) +
+    # log g(y_t | z_next); the g term is constant across cloud members i
+    # and cancels inside the backward categorical. Scoring against the
+    # TRUE observation keeps the g term finite for any observation
+    # support (a dummy value outside the support would -inf every
+    # weight) and shape-correct for vector observations.
+    def trans_scores(z_next, cloud_t, y_t, t):
         def one(z_i):
-            dummy = jnp.zeros(())  # scalar observation models
             score, _ = filter.step_model.assess(
-                ChoiceMap.kw(**{latent_addr: z_next, obs_addr: dummy}),
+                ChoiceMap.kw(**{latent_addr: z_next, obs_addr: y_t}),
                 (z_i, t, *model_args),
             )
             return score
@@ -93,10 +100,10 @@ def ffbs_sample(
     # backward over t = T-2 .. 0; inputs reversed via scan(reverse=True)
     def back(carry, inp):
         z_next = carry  # (n_paths, ...) pytree
-        cloud_t, lw_t, t, step_key = inp
+        cloud_t, lw_t, y_next, t, step_key = inp
 
         def draw(k, z_n):
-            scores = trans_scores(z_n, cloud_t, t + 1)
+            scores = trans_scores(z_n, cloud_t, y_next, t + 1)
             idx = jax.random.categorical(k, lw_t + scores)
             return jtu.tree_map(lambda v: v[idx], cloud_t)
 
@@ -106,10 +113,13 @@ def ffbs_sample(
 
     clouds_head = jtu.tree_map(lambda v: v[:-1], clouds)
     lw_head = log_weights[:-1]
+    # the transition from t to t+1 is scored with observation y_{t+1}
+    obs_next = jtu.tree_map(lambda v: v[1:], observations)
     ts = jnp.arange(T - 1)
     step_keys = jax.random.split(k_back, T - 1)
     _, path_head = jax.lax.scan(
-        back, z_last, (clouds_head, lw_head, ts, step_keys), reverse=True
+        back, z_last, (clouds_head, lw_head, obs_next, ts, step_keys),
+        reverse=True,
     )
     # stack: head is (T-1, n_paths, ...), append the t = T-1 states
     full = jtu.tree_map(

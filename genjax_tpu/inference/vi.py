@@ -323,6 +323,14 @@ def _discover_flat_latents(model, args, constraint):
                 f"auto-guided; found nested path {path}. Write the guide "
                 "with mean_field_guide/by hand for nested models."
             )
+        if not jnp.issubdtype(jnp.result_type(leaf), jnp.floating):
+            raise NotImplementedError(
+                f"advi: latent {keys[0]!r} has dtype "
+                f"{jnp.result_type(leaf)} — a Gaussian mean-field guide "
+                "only makes sense for real-valued latents; marginalize "
+                "discrete sites in the model or write the guide by hand "
+                "(e.g. with vi.flip_enum / categorical_enum sites)."
+            )
         specs[keys[0]] = jnp.shape(leaf)
     return specs
 

@@ -74,6 +74,19 @@ class TestADVI:
         with pytest.raises(NotImplementedError, match="flat"):
             vi.advi(jax.random.key(3), nested, (), ChoiceMap.kw(y=1.0))
 
+    def test_discrete_latents_raise_clearly(self):
+        """Regression: a Gaussian guide over a Bernoulli latent used to
+        run to completion with finite-but-meaningless densities; the
+        discovery pass must reject non-floating latents."""
+
+        @gx.gen
+        def mixed():
+            b = gx.flip(0.3) @ "b"
+            _ = gx.normal(jnp.where(b, 1.0, -1.0), 1.0) @ "y"
+
+        with pytest.raises(NotImplementedError, match="real-valued"):
+            vi.advi(jax.random.key(5), mixed, (), ChoiceMap.kw(y=0.5))
+
     def test_rank2_latents_raise_clearly(self):
         with pytest.raises(NotImplementedError, match="rank"):
             vi.mean_field_guide({"m": (2, 3)})

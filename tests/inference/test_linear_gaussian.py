@@ -63,6 +63,26 @@ class TestScalarAgainstSuiteOracle:
         assert bool(jnp.all(Ss[:, 0, 0] <= Ps[:, 0, 0] + 1e-6))
 
 
+class TestVectorInputs:
+    def test_vector_a_and_q_mean_diagonal(self):
+        """Regression: 1-D array inputs to build() must become diagonal
+        matrices — passed through raw, A @ mu is an inner product and
+        the covariances silently broadcast-corrupt."""
+        m_vec = LinearGaussianSSM.build(
+            a=jnp.array([0.9, 0.8]), q=jnp.array([0.5, 0.3]),
+            h=1.0, r=0.4, d=2,
+        )
+        m_mat = LinearGaussianSSM.build(
+            a=jnp.diag(jnp.array([0.9, 0.8])),
+            q=jnp.diag(jnp.array([0.5, 0.3]) ** 2),
+            h=1.0, r=0.4, d=2,
+        )
+        assert jnp.allclose(m_vec.A, m_mat.A)
+        assert jnp.allclose(m_vec.Q, m_mat.Q)
+        _, ys = m_mat.sample(jax.random.key(0), 10)
+        assert jnp.allclose(m_vec.lml(ys), m_mat.lml(ys), atol=1e-5)
+
+
 class TestMultivariateAgainstDenseJoint:
     def setup_method(self):
         self.m = LinearGaussianSSM.build(
