@@ -29,7 +29,42 @@ from genjax_tpu.core.gfi import GenerativeFunction
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.typing import FloatArray, PRNGKey
 
-__all__ = ["PosteriorSamples", "sample_posterior"]
+__all__ = ["PosteriorSamples", "posterior_predictive", "sample_posterior"]
+
+
+def posterior_predictive(
+    key: PRNGKey,
+    model: GenerativeFunction[Any],
+    args: tuple,
+    latents: ChoiceMap,
+    n_draws: int | None = None,
+):
+    """Sample the model's remaining (non-latent) sites given a batch of
+    posterior latent draws: `latents` is a ChoiceMap with a leading draw
+    axis (e.g. `PosteriorSamples.flat()`); each row is constrained into
+    `importance` and the unconstrained sites — the observables — are
+    sampled fresh. Returns the predictive ChoiceMap (leading draw axis).
+
+    >>> import jax, jax.numpy as jnp
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu.inference.sample import posterior_predictive, sample_posterior
+    >>> @gx.gen
+    ... def model():
+    ...     mu = gx.normal(0.0, 1.0) @ "mu"
+    ...     _ = gx.normal(mu, 1.0) @ "obs"
+    >>> out = sample_posterior(jax.random.key(0), model, gx.ChoiceMap.kw(obs=1.0),
+    ...     algorithm="hmc", n_chains=32, n_warmup=50, n_samples=60, L=5)
+    >>> pred = posterior_predictive(jax.random.key(1), model, (), out.flat())
+    >>> pred["obs"].shape  # one predictive obs per posterior draw
+    (1920,)
+    """
+    if n_draws is None:
+        n_draws = jnp.shape(jtu.tree_leaves(latents)[0])[0]
+    keys = jax.random.split(key, n_draws)
+    trs, _ = jax.vmap(
+        lambda k, chm: model.importance(k, chm, args)
+    )(keys, latents)
+    return trs.get_choices().filter(~latents.get_selection())
 
 
 @Pytree.dataclass

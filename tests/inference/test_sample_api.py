@@ -75,6 +75,31 @@ class TestSamplePosterior:
         assert jnp.allclose(est, mean, atol=0.05), (est, mean)
         assert bool(jnp.all(out.rhat["w"] < 1.15))
 
+    def test_posterior_predictive_matches_closed_form(self):
+        from genjax_tpu.inference.sample import posterior_predictive
+
+        out = sample_posterior(
+            jax.random.key(3),
+            conjugate,
+            ChoiceMap.kw(obs=1.0),
+            algorithm="hmc",
+            n_chains=64,
+            n_warmup=80,
+            n_samples=150,
+            thin_burn=50,
+            L=5,
+        )
+        pred = posterior_predictive(
+            jax.random.key(4), conjugate, (), out.flat()
+        )
+        ys = pred["obs"]
+        # predictive of a new obs: N(post_mean, post_var + 1) = N(0.5, 1.5)
+        n = ys.shape[0]
+        assert abs(float(jnp.mean(ys)) - 0.5) < 6 * float(
+            jnp.sqrt(1.5 / 64)  # chains are the independent unit
+        )
+        assert abs(float(jnp.var(ys)) - 1.5) < 0.2
+
     def test_unknown_algorithm_raises(self):
         with pytest.raises(ValueError, match="unknown algorithm"):
             sample_posterior(
