@@ -159,6 +159,55 @@ def gibbs_chain(
     return jax.lax.scan(sweep, trace, keys)
 
 
+def enumerative_gibbs(
+    key: PRNGKey, trace: Trace[R], addr: str, values
+) -> Trace[R]:
+    """Exact Gibbs move on a discrete site: enumerate the candidate
+    `values` (an array with the candidates along axis 0), score each via
+    an `Update` weight — `w(v) = log p(trace with addr=v) - log p(trace)`,
+    so `softmax(w)` IS the full conditional — and apply the drawn value.
+    No conjugacy derivation needed; always accepted; works wherever the
+    site's support is small enough to enumerate (mixture assignments,
+    regime indicators, model switches).
+
+    All candidates are scored with one `vmap` of the edit — a dense
+    (n_values,)-batched density evaluation, the TPU-native shape for
+    enumeration.
+
+    >>> import jax, jax.numpy as jnp
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu.inference.mcmc import enumerative_gibbs
+    >>> @gx.gen
+    ... def model():
+    ...     z = gx.categorical(jnp.log(jnp.array([0.5, 0.5]))) @ "z"
+    ...     _ = gx.normal(jnp.where(z == 0, -1.0, 1.0), 1.0) @ "y"
+    >>> tr, _ = model.importance(jax.random.key(0), gx.ChoiceMap.kw(y=0.9), ())
+    >>> new_tr = enumerative_gibbs(
+    ...     jax.random.key(1), tr, "z", jnp.arange(2))
+    >>> int(new_tr.get_choices()["z"]) in (0, 1)
+    True
+    """
+    from genjax_tpu.core.choice_map import ChoiceMap as ChoiceMapLib
+    from genjax_tpu.core.gfi import Update
+
+    k_score, k_draw, k_apply = jax.random.split(key, 3)
+    argdiffs = Diff.no_change(trace.get_args())
+
+    def weight_of(v):
+        _, w, _, _ = Update(ChoiceMapLib.kw(**{addr: v})).edit(
+            k_score, trace, argdiffs
+        )
+        return w
+
+    ws = jax.vmap(weight_of)(values)
+    idx = jax.random.categorical(k_draw, ws)
+    chosen = jtu.tree_map(lambda v: v[idx], values)
+    new_trace, _, _, _ = Update(ChoiceMapLib.kw(**{addr: chosen})).edit(
+        k_apply, trace, argdiffs
+    )
+    return new_trace
+
+
 def share_chain_args(traces: Trace[R], args: tuple) -> Trace[R]:
     """Replace a batch-of-chains trace's per-chain argument copies with
     ONE shared (unbatched) copy.
