@@ -160,7 +160,7 @@ def gibbs_chain(
 
 
 def enumerative_gibbs(
-    key: PRNGKey, trace: Trace[R], addr: str, values
+    key: PRNGKey, trace: Trace[R], addr, values
 ) -> Trace[R]:
     """Exact Gibbs move on a discrete site: enumerate the candidate
     `values` (an array with the candidates along axis 0), score each via
@@ -168,7 +168,15 @@ def enumerative_gibbs(
     so `softmax(w)` IS the full conditional — and apply the drawn value.
     No conjugacy derivation needed; always accepted; works wherever the
     site's support is small enough to enumerate (mixture assignments,
-    regime indicators, model switches).
+    regime indicators). `addr` is a top-level string or a nested address
+    tuple.
+
+    Caveat: the site must not gate model STRUCTURE. Enumerating a
+    `Switch` index makes `Update` fresh-simulate the newly-active
+    branch's unconstrained choices, so the weight is a joint-over-fresh-
+    values estimate, not the marginal conditional of the index — use the
+    block-`Regenerate` MH move for structural indices (see cookbook
+    ch. 8 / tests/inference/test_mixture_mh.py).
 
     All candidates are scored with one `vmap` of the edit — a dense
     (n_values,)-batched density evaluation, the TPU-native shape for
@@ -187,22 +195,24 @@ def enumerative_gibbs(
     >>> int(new_tr.get_choices()["z"]) in (0, 1)
     True
     """
-    from genjax_tpu.core.choice_map import ChoiceMap as ChoiceMapLib
+    from genjax_tpu.core.choice_map import ChoiceMapBuilder
     from genjax_tpu.core.gfi import Update
 
+    path = (addr,) if isinstance(addr, str) else tuple(addr)
     k_score, k_draw, k_apply = jax.random.split(key, 3)
     argdiffs = Diff.no_change(trace.get_args())
 
+    def constraint(v):
+        return ChoiceMapBuilder[path].set(v)
+
     def weight_of(v):
-        _, w, _, _ = Update(ChoiceMapLib.kw(**{addr: v})).edit(
-            k_score, trace, argdiffs
-        )
+        _, w, _, _ = Update(constraint(v)).edit(k_score, trace, argdiffs)
         return w
 
     ws = jax.vmap(weight_of)(values)
     idx = jax.random.categorical(k_draw, ws)
     chosen = jtu.tree_map(lambda v: v[idx], values)
-    new_trace, _, _, _ = Update(ChoiceMapLib.kw(**{addr: chosen})).edit(
+    new_trace, _, _, _ = Update(constraint(chosen)).edit(
         k_apply, trace, argdiffs
     )
     return new_trace

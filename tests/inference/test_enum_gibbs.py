@@ -34,6 +34,31 @@ class TestEnumerativeGibbs:
         se = float(np.sqrt(exact * (1 - exact) / 4000))
         assert abs(float(jnp.mean(draws)) - exact) < 6 * se
 
+    def test_nested_address(self):
+        """Gibbs on a discrete site inside a callee (nested address)."""
+
+        @gx.gen
+        def inner():
+            return gx.categorical(jnp.log(jnp.array([0.3, 0.7]))) @ "z"
+
+        @gx.gen
+        def outer():
+            z = inner() @ "sub"
+            _ = gx.normal(jnp.where(z == 0, -1.0, 1.0), 1.0) @ "y"
+
+        y = 0.5
+        tr, _ = outer.importance(jax.random.key(4), ChoiceMap.kw(y=y), ())
+        l1 = 0.7 * np.exp(-0.5 * (y - 1) ** 2)
+        l0 = 0.3 * np.exp(-0.5 * (y + 1) ** 2)
+        exact = l1 / (l0 + l1)
+        draws = jax.vmap(
+            lambda k: enumerative_gibbs(
+                k, tr, ("sub", "z"), jnp.arange(2)
+            ).get_choices()["sub", "z"]
+        )(jax.random.split(jax.random.key(5), 4000))
+        se = float(np.sqrt(exact * (1 - exact) / 4000))
+        assert abs(float(jnp.mean(draws)) - exact) < 6 * se
+
     def test_mixed_gibbs_mh_chain_converges(self):
         """Alternate enumerative Gibbs on the discrete site with MH on a
         continuous one; the discrete marginal matches enumeration."""
