@@ -34,7 +34,12 @@ from genjax_tpu.core.typing import (
     static_check_supports_grad,
 )
 
-_HALF_LOG_2PI = 0.5 * jnp.log(2.0 * jnp.pi)
+import math as _math
+
+# python float, NOT a jnp op: a module-level jnp call initializes the
+# backend at import time, which HANGS `import genjax_tpu` whenever the
+# device is unavailable (observed during tunnel outages)
+_HALF_LOG_2PI = 0.5 * _math.log(2.0 * _math.pi)
 
 
 def grad_tree_unzip(tree):

@@ -22,7 +22,12 @@ import jax.numpy as jnp
 from genjax_tpu import ChoiceMap, Const, categorical, dirichlet, gen, normal
 from genjax_tpu.core.typing import PRNGKey
 
-_HALF_LOG_2PI = 0.5 * jnp.log(2.0 * jnp.pi)
+import math as _math
+
+# python float, NOT a jnp op: a module-level jnp call initializes the
+# backend at import time, which HANGS `import genjax_tpu` whenever the
+# device is unavailable (observed during tunnel outages)
+_HALF_LOG_2PI = 0.5 * _math.log(2.0 * _math.pi)
 
 
 def make_gmm(
