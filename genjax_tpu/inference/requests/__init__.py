@@ -1,6 +1,19 @@
-"""Inference edit requests: MH-style rejuvenation, HMC, MALA."""
+"""Inference edit requests: MH-style rejuvenation, HMC, MALA,
+elliptical slice sampling."""
 
+from genjax_tpu.inference.requests.elliptical import (
+    EllipticalSlice,
+    elliptical_slice,
+)
 from genjax_tpu.inference.requests.hmc import HMC, MALA, SafeHMC, selection_gradient
 from genjax_tpu.inference.requests.rejuvenate import Rejuvenate
 
-__all__ = ["HMC", "MALA", "Rejuvenate", "SafeHMC", "selection_gradient"]
+__all__ = [
+    "EllipticalSlice",
+    "HMC",
+    "MALA",
+    "Rejuvenate",
+    "SafeHMC",
+    "elliptical_slice",
+    "selection_gradient",
+]

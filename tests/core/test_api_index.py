@@ -28,6 +28,7 @@ def test_module_alls_covered():
         "genjax_tpu.inference.rbpf",
         "genjax_tpu.inference.sample",
         "genjax_tpu.inference.smoothing",
+        "genjax_tpu.inference.requests",
     ]
     missing = []
     for modname in mods:
