@@ -15,6 +15,7 @@ from genjax_tpu.inference import (
     sample,
     smc,
     smoothing,
+    svgd,
     tempered,
 )
 from genjax_tpu.inference.sp import (
@@ -52,6 +53,7 @@ __all__ = [
     "sample",
     "smc",
     "smoothing",
+    "svgd",
     "tempered",
     *_vi,
 ]

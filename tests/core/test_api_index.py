@@ -29,6 +29,7 @@ def test_module_alls_covered():
         "genjax_tpu.inference.sample",
         "genjax_tpu.inference.smoothing",
         "genjax_tpu.inference.requests",
+        "genjax_tpu.inference.svgd",
     ]
     missing = []
     for modname in mods:
