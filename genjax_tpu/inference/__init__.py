@@ -14,6 +14,7 @@ from genjax_tpu.inference import (
     requests,
     sample,
     smc,
+    smc2,
     smoothing,
     svgd,
     tempered,
@@ -52,6 +53,7 @@ __all__ = [
     "requests",
     "sample",
     "smc",
+    "smc2",
     "smoothing",
     "svgd",
     "tempered",

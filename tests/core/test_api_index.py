@@ -30,6 +30,7 @@ def test_module_alls_covered():
         "genjax_tpu.inference.smoothing",
         "genjax_tpu.inference.requests",
         "genjax_tpu.inference.svgd",
+        "genjax_tpu.inference.smc2",
     ]
     missing = []
     for modname in mods:
