@@ -4,6 +4,7 @@ from genjax_tpu.inference import (
     adaptation,
     chees,
     diagnostics,
+    involutive,
     kalman,
     map_laplace,
     mcmc,
@@ -40,6 +41,7 @@ __all__ = [
     "adaptation",
     "chees",
     "diagnostics",
+    "involutive",
     "kalman",
     "map_laplace",
     "SampleDistribution",

@@ -31,6 +31,7 @@ def test_module_alls_covered():
         "genjax_tpu.inference.requests",
         "genjax_tpu.inference.svgd",
         "genjax_tpu.inference.smc2",
+        "genjax_tpu.inference.involutive",
     ]
     missing = []
     for modname in mods:
