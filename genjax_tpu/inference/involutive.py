@@ -73,7 +73,7 @@ def involutive_step(
     filtered model ChoiceMap and the auxiliary ChoiceMap to their
     images, and must be a differentiable involution of the pair.
     """
-    k_aux, k_upd, k_rev = jax.random.split(key, 3)
+    k_aux, k_upd = jax.random.split(key)
     argdiffs = Diff.no_change(trace.get_args())
 
     x = trace.get_choices().filter(selection)

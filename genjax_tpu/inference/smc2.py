@@ -97,6 +97,13 @@ class SMC2(Pytree):
     n_rejuv: int = Pytree.static(default=2)
 
     # -- inner filter pieces (per parameter particle) ---------------------
+    #
+    # Deliberately NOT shared with BootstrapFilter.run: these run under
+    # the theta-vmap, where `lax.cond` lowers to select (both branches
+    # execute) and the streaming expand_rows path loses its advantage —
+    # the dense where-select + take_rows forms below are the right
+    # shapes for that context. BootstrapFilter keeps the scalar-cond /
+    # streaming-expansion forms for the un-vmapped large-K case.
 
     def _init_one(self, key: PRNGKey, theta, obs0):
         """Start one inner filter: returns (z, lw_x, incremental loglik)."""
@@ -172,10 +179,13 @@ class SMC2(Pytree):
         """Run SMC² over the observation sequence.
 
         Returns a dict: `thetas` (parameter particles), `log_weights`
-        (their final log weights), `lml` (the model-evidence estimate
-        log p_hat(y_1:T)), `n_rejuvenations`, `accept_rate` (mean PMMH
-        acceptance over all moves), and — when `collect(thetas,
-        log_weights)` is given — `collected`, its per-time-step stack.
+        (their final log weights), `loglik` (each particle's own
+        running log p_hat(y_1:T | theta) estimate), `lml` (the
+        model-evidence estimate log p_hat(y_1:T)), `n_rejuvenations`,
+        `accept_rate` (mean PMMH acceptance over all moves), and — when
+        `collect(thetas, log_weights)` is given — `collected`, its
+        per-time-index stack with T rows (row 0 is the state after
+        assimilating y_0, matching `BootstrapFilter.run`'s contract).
         """
         n_th = self.n_theta
         k_prior, k_init, k_scan = jrand.split(key, 3)
@@ -270,6 +280,16 @@ class SMC2(Pytree):
         ), outs = jax.lax.scan(time_step, init_carry, (step_keys, rest))
 
         lml = lml + logsumexp(lw_th) - jnp.log(float(n_th))
+        if collect is not None:
+            out0 = collect(
+                jax.vmap(self.prior_sample)(jrand.split(k_prior, n_th)),
+                incr0,
+            )
+            outs = jtu.tree_map(
+                lambda a, rest: jnp.concatenate([a[None], rest], axis=0),
+                out0,
+                outs,
+            )
         total_moves = n_rej.astype(jnp.float32) * float(self.n_rejuv)
         result = {
             "thetas": thetas,

@@ -90,7 +90,8 @@ class TestExactness:
             ys,
             collect=lambda th, lw: jnp.sum(jax.nn.softmax(lw) * th),
         )
-        assert out["collected"].shape == (9,)
+        # T rows: row 0 is the post-y_0 state (BootstrapFilter contract)
+        assert out["collected"].shape == (10,)
         assert bool(jnp.isfinite(out["collected"]).all())
 
 
