@@ -17,6 +17,7 @@ from genjax_tpu.parallel.multihost import (
     pooled_lml,
     process_local_rows,
 )
+from genjax_tpu.parallel.svgd import sharded_stein_direction, sharded_svgd
 from genjax_tpu.parallel.smc import (
     ShardedSMC,
     sharded_ess,
@@ -27,6 +28,8 @@ from genjax_tpu.parallel.smc import (
 __all__ = [
     "GridSMC",
     "ShardedSMC",
+    "sharded_stein_direction",
+    "sharded_svgd",
     "global_from_process_local",
     "grid_mesh",
     "hybrid_mesh",

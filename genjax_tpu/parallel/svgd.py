@@ -1,0 +1,172 @@
+"""Sharded SVGD: Stein particle transport with the particle axis spanning
+the device mesh.
+
+New TPU-native capability (the single-device SVGD driver is
+`inference/svgd.py`; the reference has neither). SVGD's interaction
+term is an N x N kernel against all particles, so sharding rows over
+the mesh gives each device an (N/d, N) block of the kernel — computed
+from two `all_gather`s per step (positions and gradients, each (N, D)
+floats over ICI) followed by purely local matmuls. Log-density
+gradients need no communication at all (each shard vmaps its own
+particles), so the communication:compute ratio falls as D and the
+per-shard particle count grow.
+
+Bandwidth note: the median heuristic needs a global median of squared
+distances; materializing the full N x N matrix on one chip would defeat
+the sharding, so each shard takes the median of its own (N/d, N) block
+and the blocks' medians are `pmean`-averaged — exact when shards are
+statistically exchangeable (they are: particles are i.i.d. at init and
+transported identically), and every shard uses the same resulting h.
+Pass an explicit `bandwidth` for bit-exact parity with the dense
+driver.
+"""
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax import shard_map
+from jax.flatten_util import ravel_pytree
+from jax.sharding import Mesh, PartitionSpec as P
+
+from genjax_tpu.core.choice_map import ChoiceMap, Selection
+from genjax_tpu.core.diff import Diff
+from genjax_tpu.core.gfi import GenerativeFunction, Trace, Update
+from genjax_tpu.core.typing import PRNGKey
+from genjax_tpu.inference.mcmc import _chain_axes, share_chain_args
+from genjax_tpu.inference.requests.hmc import grad_tree_unzip
+
+__all__ = ["sharded_stein_direction", "sharded_svgd"]
+
+
+def sharded_stein_direction(
+    x_local: jax.Array,
+    g_local: jax.Array,
+    axis: str,
+    n_total: int,
+    bandwidth: float | None = None,
+):
+    """Per-shard rows of the Stein direction phi. Call inside
+    `shard_map` with `x_local`/`g_local` the shard's (n_local, D)
+    blocks; performs two `all_gather`s and local matmuls."""
+    x_all = jax.lax.all_gather(x_local, axis, tiled=True)
+    g_all = jax.lax.all_gather(g_local, axis, tiled=True)
+    x2_local = jnp.sum(x_local * x_local, axis=-1)
+    x2_all = jnp.sum(x_all * x_all, axis=-1)
+    d2 = x2_local[:, None] + x2_all[None, :] - 2.0 * (x_local @ x_all.T)
+    d2 = jnp.maximum(d2, 0.0)
+    if bandwidth is None:
+        h = jax.lax.pmean(jnp.median(d2), axis) / jnp.log(float(n_total + 1))
+        h = jnp.maximum(h, 1e-12)
+    else:
+        h = jnp.asarray(bandwidth)
+    K = jnp.exp(-d2 / h)  # (n_local, N) block of the kernel
+    smoothed = K @ g_all
+    repulsion = (2.0 / h) * (
+        jnp.sum(K, axis=1, keepdims=True) * x_local - K @ x_all
+    )
+    return (smoothed + repulsion) / float(n_total)
+
+
+def sharded_svgd(
+    key: PRNGKey,
+    model: GenerativeFunction[Any],
+    args: tuple,
+    observations: ChoiceMap,
+    selection: Selection,
+    n_particles: int,
+    n_steps: int,
+    mesh: Mesh,
+    axis: str = "particles",
+    step_size: float = 0.1,
+    bandwidth: float | None = None,
+) -> tuple[Trace[Any], jax.Array]:
+    """`inference.svgd.svgd` with the particle axis sharded over
+    `mesh[axis]`. Returns `(traces, mean |phi| per step)`; the trace
+    batch keeps the shared-args layout, with particle-batched leaves
+    sharded over `axis`.
+
+    `n_particles` must divide by the mesh axis size. With an explicit
+    `bandwidth` the transport matches the dense driver exactly (same
+    arithmetic, distributed); with the median heuristic, shards
+    pmean-average their block medians (see module docstring).
+    """
+    n_dev = mesh.shape[axis]
+    if n_particles % n_dev != 0:
+        raise ValueError(
+            f"sharded_svgd: n_particles={n_particles} must divide the "
+            f"'{axis}' mesh axis size {n_dev}."
+        )
+    k_init, k_edit = jax.random.split(key)
+    keys = jax.random.split(k_init, n_particles)
+    traces, _ = jax.vmap(model.importance, in_axes=(0, None, None))(
+        keys, observations, args
+    )
+    traces = share_chain_args(traces, args)
+
+    chm = traces.get_choices()
+    filtered = chm.filter(selection)
+    complement = chm.filter(~selection)
+    grad_tree, nongrad_tree = grad_tree_unzip(filtered)
+    if jtu.tree_leaves(nongrad_tree):
+        raise TypeError(
+            "sharded_svgd: the selection covers non-differentiable "
+            "sites; SVGD transports continuous latents only."
+        )
+
+    template = jtu.tree_map(lambda v: v[0], grad_tree)
+    _, unravel = ravel_pytree(template)
+    x0 = jax.vmap(lambda t: ravel_pytree(t)[0])(grad_tree)
+
+    def logp(vec, compl):
+        full = unravel(vec).merge(compl)
+        w, _ = model.assess(full, args)
+        return w
+
+    compl_axes = _chain_axes(complement, n_particles)
+    compl_specs = jtu.tree_map(
+        lambda ax_leaf, v: P(axis, *([None] * (jnp.ndim(v) - 1)))
+        if ax_leaf == 0
+        else P(),
+        compl_axes,
+        complement,
+        is_leaf=lambda x: x is None or isinstance(x, int),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), compl_specs),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    def transport(x_local, compl_local):
+        grad_local = jax.vmap(jax.grad(logp), in_axes=(0, compl_axes))
+
+        def step(x_loc, _):
+            g_loc = grad_local(x_loc, compl_local)
+            phi_loc = sharded_stein_direction(
+                x_loc, g_loc, axis, n_particles, bandwidth
+            )
+            diag = jax.lax.pmean(jnp.mean(jnp.abs(phi_loc)), axis)
+            return x_loc + step_size * phi_loc, diag
+
+        return jax.lax.scan(step, x_local, None, length=n_steps)
+
+    x, phi_norms = transport(x0, complement)
+
+    tr_axes = _chain_axes(traces, n_particles)
+    edit_keys = jax.random.split(k_edit, n_particles)
+
+    def rebuild(k, tr, vec):
+        new_tr, _, _, _ = Update(unravel(vec)).edit(
+            k, tr, Diff.no_change(args)
+        )
+        return new_tr
+
+    new_traces = jax.vmap(rebuild, in_axes=(0, tr_axes, 0), out_axes=tr_axes)(
+        edit_keys, traces, x
+    )
+    return new_traces, phi_norms
