@@ -1,6 +1,13 @@
 """Benchmark model zoo (the BASELINE.md configs) + application models."""
 
 from genjax_tpu.models.beta_bernoulli import beta_bernoulli, run_sir
+from genjax_tpu.models.gp import (
+    gp_posterior,
+    make_gp_regression,
+    matern32_kernel,
+    rbf_kernel,
+    run_gp_ess,
+)
 from genjax_tpu.models.gmm import make_gmm, run_gibbs, simulate_gmm_data
 from genjax_tpu.models.logreg import logistic_regression, run_hmc_chains, run_mala_chains
 from genjax_tpu.models.polyreg import polynomial_regression, run_is_mh
@@ -19,7 +26,12 @@ from genjax_tpu.models.stochvol import (
 __all__ = [
     "beta_bernoulli",
     "logistic_regression",
+    "gp_posterior",
     "make_gmm",
+    "make_gp_regression",
+    "matern32_kernel",
+    "rbf_kernel",
+    "run_gp_ess",
     "make_ssm_models",
     "polynomial_regression",
     "run_bootstrap_filter",
