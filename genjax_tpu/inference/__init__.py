@@ -8,6 +8,7 @@ from genjax_tpu.inference import (
     kalman,
     map_laplace,
     mcmc,
+    nested,
     particle_gibbs,
     pmmh,
     psis,
@@ -48,6 +49,7 @@ __all__ = [
     "Target",
     "marginal",
     "mcmc",
+    "nested",
     "particle_gibbs",
     "pmmh",
     "psis",

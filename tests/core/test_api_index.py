@@ -32,6 +32,7 @@ def test_module_alls_covered():
         "genjax_tpu.inference.svgd",
         "genjax_tpu.inference.smc2",
         "genjax_tpu.inference.involutive",
+        "genjax_tpu.inference.nested",
     ]
     missing = []
     for modname in mods:
