@@ -13,6 +13,7 @@ from genjax_tpu.inference import (
     pmmh,
     psis,
     rbpf,
+    rjmcmc,
     requests,
     sample,
     smc,
@@ -54,6 +55,7 @@ __all__ = [
     "pmmh",
     "psis",
     "rbpf",
+    "rjmcmc",
     "requests",
     "sample",
     "smc",
