@@ -105,7 +105,9 @@ def sample_posterior(
     `selection` defaults to every unconstrained address (the latents);
     the selected choices must be continuous (gradient-based kernels).
     `algorithm` is `"chees"` (automatic trajectory lengths, default),
-    `"hmc"` (fixed L with trajectory jitter), or `"mala"`.
+    `"hmc"` (fixed L with trajectory jitter), `"mala"`, or
+    `"elliptical"` (tuning-free slice moves for zero-mean
+    Gaussian-prior latents — no gradient, no step size).
 
     >>> import jax, jax.numpy as jnp
     >>> import genjax_tpu as gx
@@ -168,10 +170,25 @@ def sample_posterior(
             k_run, traces, req, n_samples, collect=collect
         )
         accept = tuned.accept_rate
+    elif algorithm == "elliptical":
+        # Tuning-free: no warmup adaptation phase — the first n_warmup
+        # collected sweeps are simply discarded as burn-in. Requires
+        # Gaussian priors over the selected sites (zero prior mean; use
+        # `EllipticalSlice` directly for nonzero means).
+        from genjax_tpu.inference.mcmc import run_chains
+        from genjax_tpu.inference.requests import EllipticalSlice
+
+        req = EllipticalSlice(selection, mean=0.0)
+        _, samples = run_chains(
+            k_run, traces, req, n_warmup + n_samples, collect=collect
+        )
+        samples = jtu.tree_map(lambda v: v[:, n_warmup:], samples)
+        accept = jnp.asarray(1.0)  # slice moves always accept
+        tuned = None
     else:
         raise ValueError(
             f"sample_posterior: unknown algorithm {algorithm!r}; expected "
-            "'chees', 'hmc', or 'mala'."
+            "'chees', 'hmc', 'mala', or 'elliptical'."
         )
 
     if thin_burn:

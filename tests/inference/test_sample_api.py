@@ -21,7 +21,7 @@ def conjugate():
 
 
 class TestSamplePosterior:
-    @pytest.mark.parametrize("algorithm", ["chees", "hmc", "mala"])
+    @pytest.mark.parametrize("algorithm", ["chees", "hmc", "mala", "elliptical"])
     def test_conjugate_exactness_and_diagnostics(self, algorithm):
         out = sample_posterior(
             jax.random.key(0),
