@@ -531,6 +531,40 @@ def main():
     except Exception as e:  # pragma: no cover
         log("HMC diagnostic failed:", e)
 
+    # SVGD: the N x N Stein interaction is three MXU matmuls per step.
+    try:
+        from genjax_tpu.inference.svgd import svgd
+        from genjax_tpu.models.logreg import logistic_regression, simulate_logreg_data
+
+        import genjax_tpu as gxx
+
+        N_sv, D_sv, S_sv = 4096, 16, 100
+        Xs, ysv, _ = simulate_logreg_data(jax.random.key(5), 256, D_sv)
+
+        @jax.jit
+        def svgd_run(key):
+            trs, phi = svgd(
+                key,
+                logistic_regression,
+                (Xs,),
+                gxx.ChoiceMap.kw(ys=ysv),
+                gxx.Selection.at["w"],
+                n_particles=N_sv,
+                n_steps=S_sv,
+                step_size=0.05,
+            )
+            return jnp.mean(trs.get_choices()["w"]), phi[-1]
+
+        t_sv = max(timeit(svgd_run, jax.random.key(6), iters=3) - t_floor, 1e-9)
+        per_step = t_sv / S_sv
+        upd_per_s = N_sv / per_step
+        log(
+            f"SVGD {N_sv} particles x {S_sv} steps (logreg N=256, D={D_sv}): "
+            f"{per_step*1e3:.3f} ms/step = {upd_per_s/1e6:.1f}M particle-updates/s"
+        )
+    except Exception as e:  # pragma: no cover
+        log("SVGD diagnostic failed:", e)
+
     out = {
         "metric": "SIR particles/sec/chip at K=1M",
         "value": round(pps_fw, 1),
