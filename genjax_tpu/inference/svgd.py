@@ -34,10 +34,20 @@ from genjax_tpu.inference.mcmc import _chain_axes, share_chain_args
 from genjax_tpu.inference.requests.hmc import grad_tree_unzip, grad_tree_zip
 
 
+# Particle-count cap for the median-heuristic estimate: a full-matrix
+# median is a sort of n^2 elements EVERY step (43 ms/step at n=4096 on
+# v5e — 1000x the cost of the kernel matmuls it feeds). The median over
+# a 512x512 block of exchangeable particles estimates the same scalar
+# to well under the heuristic's own slack.
+_MEDIAN_SAMPLE = 512
+
+
 def rbf_kernel(x: jax.Array, bandwidth: float | None = None):
     """RBF kernel matrix over particle rows, squared distances via one
     symmetric matmul. `bandwidth=None` applies the median heuristic
-    h = median(d^2) / log(n + 1) (Liu & Wang 2016, sec. 5).
+    h = median(d^2) / log(n + 1) (Liu & Wang 2016, sec. 5), with the
+    median taken over a `_MEDIAN_SAMPLE`-sized particle block (sorting
+    the full n x n matrix would dominate the whole update at scale).
 
     Returns `(K, h)` with `K[i, j] = exp(-||x_i - x_j||^2 / h)`.
     """
@@ -46,7 +56,8 @@ def rbf_kernel(x: jax.Array, bandwidth: float | None = None):
     d2 = x2[:, None] + x2[None, :] - 2.0 * (x @ x.T)
     d2 = jnp.maximum(d2, 0.0)
     if bandwidth is None:
-        h = jnp.median(d2) / jnp.log(float(n + 1))
+        m = min(n, _MEDIAN_SAMPLE)
+        h = jnp.median(d2[:m, :m]) / jnp.log(float(n + 1))
         h = jnp.maximum(h, 1e-12)
     else:
         h = jnp.asarray(bandwidth)

@@ -58,7 +58,15 @@ def sharded_stein_direction(
     d2 = x2_local[:, None] + x2_all[None, :] - 2.0 * (x_local @ x_all.T)
     d2 = jnp.maximum(d2, 0.0)
     if bandwidth is None:
-        h = jax.lax.pmean(jnp.median(d2), axis) / jnp.log(float(n_total + 1))
+        # Median over a column-capped block (full-matrix medians are a
+        # per-step n^2 sort — see inference/svgd.py::_MEDIAN_SAMPLE),
+        # pmean-averaged so every shard uses the same h.
+        from genjax_tpu.inference.svgd import _MEDIAN_SAMPLE
+
+        m = min(d2.shape[1], _MEDIAN_SAMPLE)
+        h = jax.lax.pmean(jnp.median(d2[:, :m]), axis) / jnp.log(
+            float(n_total + 1)
+        )
         h = jnp.maximum(h, 1e-12)
     else:
         h = jnp.asarray(bandwidth)
