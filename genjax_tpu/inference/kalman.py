@@ -28,7 +28,18 @@ __all__ = ["LinearGaussianSSM", "kalman_predict_update"]
 
 def _predict_update_full(A, Q, H, R, mu, P, y, predict=True):
     """Predict+update returning the predicted moments too (the smoother
-    needs them); the single source of the Kalman algebra."""
+    needs them); the single source of the Kalman algebra.
+
+    Runs at full f32 matmul precision: TPU's default bf16 passes let
+    the covariance recursion drift enough to visibly corrupt smoothed
+    states in near-singular models (STS seasonal corr 0.9999 -> ~0.3
+    with default precision). These are tiny matrices; precision here is
+    free."""
+    with jax.default_matmul_precision("float32"):
+        return _predict_update_full_impl(A, Q, H, R, mu, P, y, predict)
+
+
+def _predict_update_full_impl(A, Q, H, R, mu, P, y, predict=True):
     mu_pred = jnp.where(predict, A @ mu, mu)
     P_pred = jnp.where(predict, A @ P @ A.T + Q, P)
     S = H @ P_pred @ H.T + R
@@ -163,13 +174,26 @@ class LinearGaussianSSM(Pytree):
         )
 
         # backward: mu_s[t] = mu_f[t] + C (mu_s[t+1] - mu_pred[t+1]),
-        # C = P_f[t] A^T P_pred[t+1]^-1
+        # C = P_f[t] A^T P_pred[t+1]^+  — pseudo-inverse, NOT solve:
+        # models with deterministic state directions (singular Q, e.g.
+        # STS seasonal blocks) make P_pred near-singular, and the LU
+        # solve turns into garbage gains on TPU f32 (smoothed seasonal
+        # correlation fell from 0.9999 to -0.11 before this). The PSD
+        # eigh pseudo-inverse is the correct limit: null directions of
+        # P_pred are also null in P_f A^T, so they get zero gain.
+        def _pinv_psd(M):
+            s, U = jnp.linalg.eigh(M)
+            cutoff = 1e-6 * jnp.max(s)
+            inv = jnp.where(s > cutoff, 1.0 / jnp.where(s > cutoff, s, 1.0), 0.0)
+            return (U * inv[None, :]) @ U.T
+
         def bstep(carry, inp):
             mu_s_next, P_s_next = carry
             mu_f, P_f, mu_pred_next, P_pred_next = inp
-            C = P_f @ jnp.linalg.solve(P_pred_next, A).T
-            mu_s = mu_f + C @ (mu_s_next - mu_pred_next)
-            P_s = P_f + C @ (P_s_next - P_pred_next) @ C.T
+            with jax.default_matmul_precision("float32"):
+                C = P_f @ A.T @ _pinv_psd(P_pred_next)
+                mu_s = mu_f + C @ (mu_s_next - mu_pred_next)
+                P_s = P_f + C @ (P_s_next - P_pred_next) @ C.T
             return (mu_s, P_s), (mu_s, P_s)
 
         inputs = (
@@ -186,13 +210,23 @@ class LinearGaussianSSM(Pytree):
         return mu_s, P_s
 
     def sample(self, key: PRNGKey, T: int):
-        """Simulate `(latents (T, d), observations (T, p))`."""
+        """Simulate `(latents (T, d), observations (T, p))`.
+
+        Noise factors use an eigendecomposition square root, not
+        Cholesky: models with deterministic state directions (e.g. STS
+        seasonal blocks) have SINGULAR Q, where Cholesky is NaN but the
+        PSD square root is well-defined."""
+
+        def psd_sqrt(M):
+            s, U = jnp.linalg.eigh(M)
+            return U * jnp.sqrt(jnp.maximum(s, 0.0))[None, :]
+
         d = self.A.shape[0]
         p = self.H.shape[0]
         kz0, krest = jax.random.split(key)
-        cholP0 = jnp.linalg.cholesky(self.P0)
-        cholQ = jnp.linalg.cholesky(self.Q)
-        cholR = jnp.linalg.cholesky(self.R)
+        cholP0 = psd_sqrt(self.P0)
+        cholQ = psd_sqrt(self.Q)
+        cholR = psd_sqrt(self.R)
         z0 = self.mu0 + cholP0 @ jax.random.normal(kz0, (d,))
 
         def step(z, k):

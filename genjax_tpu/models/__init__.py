@@ -11,6 +11,13 @@ from genjax_tpu.models.gp import (
 from genjax_tpu.models.gmm import make_gmm, run_gibbs, simulate_gmm_data
 from genjax_tpu.models.logreg import logistic_regression, run_hmc_chains, run_mala_chains
 from genjax_tpu.models.polyreg import polynomial_regression, run_is_mh
+from genjax_tpu.models.sts import (
+    StructuralTimeSeries,
+    ar,
+    local_level,
+    local_linear_trend,
+    seasonal,
+)
 from genjax_tpu.models.ssm import (
     make_ssm_models,
     run_bootstrap_filter,
@@ -24,6 +31,8 @@ from genjax_tpu.models.stochvol import (
 )
 
 __all__ = [
+    "StructuralTimeSeries",
+    "ar",
     "beta_bernoulli",
     "logistic_regression",
     "gp_posterior",
@@ -39,7 +48,10 @@ __all__ = [
     "run_hmc_chains",
     "run_is_mh",
     "run_mala_chains",
+    "local_level",
+    "local_linear_trend",
     "run_sir",
+    "seasonal",
     "make_sv_filter",
     "run_sv_pmmh",
     "simulate_gmm_data",
