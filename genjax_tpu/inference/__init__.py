@@ -1,6 +1,7 @@
 """Inference library: GenSP targets/algorithms, SMC, MCMC, VI."""
 
 from genjax_tpu.inference import (
+    abc,
     adaptation,
     chees,
     diagnostics,
@@ -39,6 +40,7 @@ except ImportError:  # pragma: no cover - before the ADEV layer lands
 
 __all__ = [
     "Algorithm",
+    "abc",
     "Marginal",
     "adaptation",
     "chees",

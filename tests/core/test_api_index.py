@@ -34,6 +34,7 @@ def test_module_alls_covered():
         "genjax_tpu.inference.involutive",
         "genjax_tpu.inference.nested",
         "genjax_tpu.inference.rjmcmc",
+        "genjax_tpu.inference.abc",
     ]
     missing = []
     for modname in mods:
