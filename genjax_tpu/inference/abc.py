@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import jax.random as jrand
 import jax.tree_util as jtu
 
-from genjax_tpu.core.choice_map import ChoiceMap, Selection
+from genjax_tpu.core.choice_map import Selection
 from genjax_tpu.core.diff import Diff
 from genjax_tpu.core.gfi import GenerativeFunction, Trace, Update
 from genjax_tpu.core.pytree import Pytree
@@ -126,11 +126,17 @@ class ABCSMC(Pytree):
         flat = jax.vmap(lambda t: ravel_pytree(t)[0])(vals)
         return flat, unravel
 
-    def _move(self, key, trace, d, eps, scales, argdiffs):
+    def _move(self, key, trace, d, eps, scales):
         """One indicator-MH move: perturb latents, re-simulate data,
         accept on the prior ratio AND the tolerance indicator."""
         from jax.flatten_util import ravel_pytree
 
+        # Build argdiffs from THIS trace's args (not the constructor's
+        # copies): under `lax.scan` the shared arg leaves are carry
+        # tracers, and `where_tree`'s identity shortcut only keeps them
+        # unbatched if the edit passes the very same tracers through
+        # (the `mh` driver pattern).
+        argdiffs = Diff.no_change(trace.get_args())
         k_prop, k_gen, k_proj, k_acc = jrand.split(key, 4)
         vals = trace.get_choices().filter(self.selection)
         flat, unravel = ravel_pytree(vals)
@@ -148,7 +154,7 @@ class ABCSMC(Pytree):
             k_proj, self.selection
         )
         accept = jnp.logical_and(
-            jnp.log(jrand.uniform(k_acc)) < prior_delta, d_cand < eps
+            jnp.log(jrand.uniform(k_acc)) < prior_delta, d_cand <= eps
         )
         return (
             where_tree(accept, cand, trace),
@@ -157,22 +163,33 @@ class ABCSMC(Pytree):
         )
 
     def run(self, key: PRNGKey) -> dict:
+        from genjax_tpu.inference.mcmc import _chain_axes, share_chain_args
+
         n = self.n_particles
         k_init, k_gens = jrand.split(key)
         init_keys = jrand.split(k_init, n)
         traces = jax.vmap(lambda k: self.model.simulate(k, self.args))(
             init_keys
         )
-        d = jax.vmap(self._distance)(traces)
-        argdiffs = Diff.no_change(self.args)
+        # Shared-args layout (ARCHITECTURE.md 4b): model args stored once,
+        # not broadcast per particle; gathers and move vmaps below honor
+        # the per-leaf axes accordingly.
+        traces = share_chain_args(traces, self.args)
+        tr_axes = _chain_axes(traces, n)
+        d = jax.vmap(self._distance, in_axes=(tr_axes,))(traces)
 
         def generation(carry, gen_key):
             traces, d, acc_sum = carry
             k_res, k_moves = jrand.split(gen_key)
             eps = jnp.quantile(d, self.quantile)
-            lw = jnp.where(d < eps, 0.0, -jnp.inf)
+            # <= not <: when the population collapses (or summaries are
+            # discrete) the quantile can EQUAL the minimum distance, and
+            # a strict < would leave zero survivors — softmax of an
+            # all -inf weight vector is NaN and silently corrupts every
+            # later generation.
+            lw = jnp.where(d <= eps, 0.0, -jnp.inf)
             anc = systematic_resample(k_res, lw, n)
-            traces, d = take_rows((traces, d), anc)
+            traces, d = take_rows((traces, d), anc, n_rows=n)
 
             flat, _ = self._flat_latents(traces)
             scales = self.move_scale * jnp.std(flat, axis=0) + 1e-8
@@ -181,9 +198,9 @@ class ABCSMC(Pytree):
                 traces, d, acc = carry
                 move_keys = jrand.split(sweep_key, n)
                 traces, d, accs = jax.vmap(
-                    lambda k, t, di: self._move(
-                        k, t, di, eps, scales, argdiffs
-                    )
+                    lambda k, t, di: self._move(k, t, di, eps, scales),
+                    in_axes=(0, tr_axes, 0),
+                    out_axes=(tr_axes, 0, 0),
                 )(move_keys, traces, d)
                 return (traces, d, acc + jnp.mean(accs.astype(jnp.float32))), None
 

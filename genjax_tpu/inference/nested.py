@@ -128,13 +128,22 @@ class NestedSampler(Pytree):
         return trace, loglik, n_acc
 
     def run(self, key: PRNGKey) -> dict:
+        from genjax_tpu.inference.mcmc import _chain_axes, share_chain_args
+
         n = self.n_live
         k_init, k_proj, k_scan = jrand.split(key, 3)
         init_keys = jrand.split(k_init, n)
         live, _ = jax.vmap(
             lambda k: self.model.importance(k, self.observations, self.args)
         )(init_keys)
-        logliks = jax.vmap(lambda tr: self._loglik(k_proj, tr))(live)
+        # Shared-args layout (ARCHITECTURE.md 4b): one copy of the model
+        # args for the whole live set; the per-iteration donor gather and
+        # worst scatter below only touch the genuinely per-point leaves.
+        live = share_chain_args(live, self.args)
+        axes = _chain_axes(live, n)
+        logliks = jax.vmap(
+            lambda tr: self._loglik(k_proj, tr), in_axes=(axes,)
+        )(live)
         argdiffs = Diff.no_change(self.args)
 
         def iteration(carry, it_key):
@@ -150,14 +159,25 @@ class NestedSampler(Pytree):
             # it within the constrained prior.
             offset = jrand.randint(k_pick, (), 1, n)
             donor = (worst + offset) % n
-            seed_tr = jtu.tree_map(lambda v: v[donor], live)
+            seed_tr = jtu.tree_map(
+                lambda ax, v: v[donor] if ax == 0 else v,
+                axes,
+                live,
+                is_leaf=lambda x: x is None,
+            )
             seed_ll = logliks[donor]
             new_tr, new_ll, n_acc = self._constrained_walk(
                 k_walk, seed_tr, seed_ll, lstar, argdiffs
             )
 
             live = jtu.tree_map(
-                lambda batch, leaf: batch.at[worst].set(leaf), live, new_tr
+                lambda ax, batch, leaf: batch.at[worst].set(leaf)
+                if ax == 0
+                else batch,
+                axes,
+                live,
+                new_tr,
+                is_leaf=lambda x: x is None,
             )
             logliks = logliks.at[worst].set(new_ll)
             return (live, logliks), (dead_choices, lstar, n_acc)

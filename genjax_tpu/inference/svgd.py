@@ -78,6 +78,61 @@ def stein_direction(x: jax.Array, grads: jax.Array, bandwidth: float | None = No
     return (smoothed + repulsion) / float(n), h
 
 
+def _prepare_particles(
+    key: PRNGKey,
+    model: GenerativeFunction[Any],
+    args: tuple,
+    observations: ChoiceMap,
+    selection: Selection,
+    n_particles: int,
+):
+    """Shared SVGD setup (used by this driver and `parallel.sharded_svgd`):
+    importance-initialize a shared-args trace batch and flatten the
+    selected (continuous) latents to an (n, dim) matrix. Returns
+    `(traces, x0, unravel, complement, compl_axes)`."""
+    keys = jax.random.split(key, n_particles)
+    traces, _ = jax.vmap(model.importance, in_axes=(0, None, None))(
+        keys, observations, args
+    )
+    traces = share_chain_args(traces, args)
+
+    chm = traces.get_choices()
+    filtered = chm.filter(selection)
+    complement = chm.filter(~selection)
+    grad_tree, nongrad_tree = grad_tree_unzip(filtered)
+    # None leaves are dropped by tree_leaves, so any survivor is a real
+    # non-differentiable selected site.
+    if jtu.tree_leaves(nongrad_tree):
+        raise TypeError(
+            "svgd: the selection covers non-differentiable (e.g. integer) "
+            "sites; SVGD transports continuous latents only — narrow the "
+            "selection or marginalize the discrete sites."
+        )
+
+    template = jtu.tree_map(lambda v: v[0], grad_tree)
+    _, unravel = ravel_pytree(template)
+    x0 = jax.vmap(lambda t: ravel_pytree(t)[0])(grad_tree)
+    compl_axes = _chain_axes(complement, n_particles)
+    return traces, x0, unravel, complement, compl_axes
+
+
+def _rebuild_particles(key, traces, x, unravel, args, n_particles):
+    """Write transported values back with one vmapped GFI edit so
+    scores/retvals are consistent with the new choices."""
+    tr_axes = _chain_axes(traces, n_particles)
+    edit_keys = jax.random.split(key, n_particles)
+
+    def rebuild(k, tr, vec):
+        new_tr, _, _, _ = Update(unravel(vec)).edit(
+            k, tr, Diff.no_change(args)
+        )
+        return new_tr
+
+    return jax.vmap(rebuild, in_axes=(0, tr_axes, 0), out_axes=tr_axes)(
+        edit_keys, traces, x
+    )
+
+
 def svgd(
     key: PRNGKey,
     model: GenerativeFunction[Any],
@@ -121,30 +176,9 @@ def svgd(
     True
     """
     k_init, k_edit = jax.random.split(key)
-    keys = jax.random.split(k_init, n_particles)
-    traces, _ = jax.vmap(model.importance, in_axes=(0, None, None))(
-        keys, observations, args
+    traces, x0, unravel, complement, compl_axes = _prepare_particles(
+        k_init, model, args, observations, selection, n_particles
     )
-    traces = share_chain_args(traces, args)
-
-    chm = traces.get_choices()
-    filtered = chm.filter(selection)
-    complement = chm.filter(~selection)
-    grad_tree, nongrad_tree = grad_tree_unzip(filtered)
-    # None leaves are dropped by tree_leaves, so any survivor is a real
-    # non-differentiable selected site.
-    if jtu.tree_leaves(nongrad_tree):
-        raise TypeError(
-            "svgd: the selection covers non-differentiable (e.g. integer) "
-            "sites; SVGD transports continuous latents only — narrow the "
-            "selection or marginalize the discrete sites."
-        )
-
-    template = jtu.tree_map(lambda v: v[0], grad_tree)
-    _, unravel = ravel_pytree(template)
-    x0 = jax.vmap(lambda t: ravel_pytree(t)[0])(grad_tree)
-
-    compl_axes = _chain_axes(complement, n_particles)
 
     def logp(vec, compl):
         full = unravel(vec).merge(compl)
@@ -179,20 +213,9 @@ def svgd(
 
         x, outs = jax.lax.scan(step, x0, None, length=n_steps)
 
-    # Write the transported values back with one vmapped GFI edit so
-    # scores/retvals are consistent with the new choices.
-    tr_axes = _chain_axes(traces, n_particles)
-    edit_keys = jax.random.split(k_edit, n_particles)
-
-    def rebuild(k, tr, vec):
-        new_tr, _, _, _ = Update(unravel(vec)).edit(
-            k, tr, Diff.no_change(args)
-        )
-        return new_tr
-
-    new_traces = jax.vmap(
-        rebuild, in_axes=(0, tr_axes, 0), out_axes=tr_axes
-    )(edit_keys, traces, x)
+    new_traces = _rebuild_particles(
+        k_edit, traces, x, unravel, args, n_particles
+    )
     return new_traces, outs
 
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from genjax_tpu.core.pytree import Pytree
-from genjax_tpu.core.typing import FloatArray, PRNGKey
+from genjax_tpu.core.typing import FloatArray
 from genjax_tpu.inference.kalman import LinearGaussianSSM
 
 __all__ = [
@@ -169,10 +169,14 @@ class StructuralTimeSeries(Pytree):
 
         def step(carry, _):
             mu, P = carry
-            mu = m.A @ mu
-            P = m.A @ P @ m.A.T + m.Q
-            y_mean = (m.H @ mu)[0]
-            y_var = (m.H @ P @ m.H.T + m.R)[0, 0]
+            # full f32 matmul precision: the covariance recursion on
+            # singular-Q blocks drifts visibly under TPU's default bf16
+            # passes (same hazard kalman._predict_update_full guards).
+            with jax.default_matmul_precision("float32"):
+                mu = m.A @ mu
+                P = m.A @ P @ m.A.T + m.Q
+                y_mean = (m.H @ mu)[0]
+                y_var = (m.H @ P @ m.H.T + m.R)[0, 0]
             return (mu, P), (y_mean, y_var)
 
         _, (means, variances) = jax.lax.scan(
@@ -193,6 +197,14 @@ class StructuralTimeSeries(Pytree):
         import jax.tree_util as jtu
         import optax
 
+        # Structurally-zero process-noise entries (e.g. the seasonal
+        # block's non-drift states) are part of the component's
+        # DEFINITION, not parameters: freeing them would let the
+        # optimizer silently leave the model class (a "seasonal" block
+        # with noise in its sum-to-zero recursion is no longer
+        # sum-to-zero). Only entries that start positive are trained.
+        masks = [c.q > 0 for c in self.components]
+
         def pack(sts):
             return (
                 [jnp.log(c.q + 1e-8) for c in sts.components],
@@ -202,8 +214,14 @@ class StructuralTimeSeries(Pytree):
         def unpack(params):
             logqs, log_r = params
             comps = tuple(
-                _Component(c.name, c.A, jnp.exp(lq), c.h, c.p0)
-                for c, lq in zip(self.components, logqs)
+                _Component(
+                    c.name,
+                    c.A,
+                    jnp.where(mask, jnp.exp(lq), 0.0),
+                    c.h,
+                    c.p0,
+                )
+                for c, lq, mask in zip(self.components, logqs, masks)
             )
             return StructuralTimeSeries(comps, jnp.exp(log_r))
 

@@ -28,15 +28,12 @@ import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
 from jax import shard_map
-from jax.flatten_util import ravel_pytree
 from jax.sharding import Mesh, PartitionSpec as P
 
 from genjax_tpu.core.choice_map import ChoiceMap, Selection
-from genjax_tpu.core.diff import Diff
-from genjax_tpu.core.gfi import GenerativeFunction, Trace, Update
+from genjax_tpu.core.gfi import GenerativeFunction, Trace
 from genjax_tpu.core.typing import PRNGKey
-from genjax_tpu.inference.mcmc import _chain_axes, share_chain_args
-from genjax_tpu.inference.requests.hmc import grad_tree_unzip
+from genjax_tpu.inference.svgd import _prepare_particles, _rebuild_particles
 
 __all__ = ["sharded_stein_direction", "sharded_svgd"]
 
@@ -104,36 +101,19 @@ def sharded_svgd(
     n_dev = mesh.shape[axis]
     if n_particles % n_dev != 0:
         raise ValueError(
-            f"sharded_svgd: n_particles={n_particles} must divide the "
-            f"'{axis}' mesh axis size {n_dev}."
+            f"sharded_svgd: n_particles={n_particles} must be divisible "
+            f"by the '{axis}' mesh axis size {n_dev}."
         )
     k_init, k_edit = jax.random.split(key)
-    keys = jax.random.split(k_init, n_particles)
-    traces, _ = jax.vmap(model.importance, in_axes=(0, None, None))(
-        keys, observations, args
+    traces, x0, unravel, complement, compl_axes = _prepare_particles(
+        k_init, model, args, observations, selection, n_particles
     )
-    traces = share_chain_args(traces, args)
-
-    chm = traces.get_choices()
-    filtered = chm.filter(selection)
-    complement = chm.filter(~selection)
-    grad_tree, nongrad_tree = grad_tree_unzip(filtered)
-    if jtu.tree_leaves(nongrad_tree):
-        raise TypeError(
-            "sharded_svgd: the selection covers non-differentiable "
-            "sites; SVGD transports continuous latents only."
-        )
-
-    template = jtu.tree_map(lambda v: v[0], grad_tree)
-    _, unravel = ravel_pytree(template)
-    x0 = jax.vmap(lambda t: ravel_pytree(t)[0])(grad_tree)
 
     def logp(vec, compl):
         full = unravel(vec).merge(compl)
         w, _ = model.assess(full, args)
         return w
 
-    compl_axes = _chain_axes(complement, n_particles)
     compl_specs = jtu.tree_map(
         lambda ax_leaf, v: P(axis, *([None] * (jnp.ndim(v) - 1)))
         if ax_leaf == 0
@@ -164,17 +144,7 @@ def sharded_svgd(
         return jax.lax.scan(step, x_local, None, length=n_steps)
 
     x, phi_norms = transport(x0, complement)
-
-    tr_axes = _chain_axes(traces, n_particles)
-    edit_keys = jax.random.split(k_edit, n_particles)
-
-    def rebuild(k, tr, vec):
-        new_tr, _, _, _ = Update(unravel(vec)).edit(
-            k, tr, Diff.no_change(args)
-        )
-        return new_tr
-
-    new_traces = jax.vmap(rebuild, in_axes=(0, tr_axes, 0), out_axes=tr_axes)(
-        edit_keys, traces, x
+    new_traces = _rebuild_particles(
+        k_edit, traces, x, unravel, args, n_particles
     )
     return new_traces, phi_norms

@@ -31,8 +31,8 @@ class TestABCSMC:
             Selection.at["theta"],
             summary_fn=SUMMARY,
             observed_summary=1.0,
-            n_particles=2048,
-            n_generations=10,
+            n_particles=4096,
+            n_generations=8,
             n_moves=5,
         )
         out = jax.jit(alg.run)(jax.random.key(0))
@@ -43,8 +43,58 @@ class TestABCSMC:
         # respects the final tolerance
         eps = out["epsilons"]
         assert bool((eps[1:] < eps[:-1]).all())
-        assert bool((out["distances"] < eps[-1]).all())
+        assert bool((out["distances"] <= eps[-1]).all())
         assert 0.02 < float(out["accept_rate"]) < 0.95
+
+    def test_degenerate_distances_stay_finite(self):
+        """A constant summary makes every distance identical, so the
+        tolerance quantile EQUALS the minimum — the <= survivor rule
+        must keep the population alive instead of softmaxing all -inf
+        weights into NaN."""
+
+        @g.gen
+        def degenerate():
+            t = g.normal(0.0, 1.0) @ "theta"
+            _ = g.normal(t, 0.5) @ "y"
+
+        alg = ABCSMC(
+            degenerate,
+            (),
+            Selection.at["theta"],
+            summary_fn=lambda tr: 0.0,  # ignores the data entirely
+            observed_summary=0.0,
+            n_particles=128,
+            n_generations=4,
+            n_moves=2,
+        )
+        out = alg.run(jax.random.key(3))
+        th = out["traces"].get_choices()["theta"]
+        assert bool(jnp.isfinite(th).all())
+        assert bool(jnp.isfinite(out["epsilons"]).all())
+
+    def test_shared_args_layout(self):
+        """Model args are stored once, not broadcast per particle
+        (CLAUDE.md shared-args convention for batch drivers)."""
+        data = jnp.linspace(-1.0, 1.0, 7)
+
+        @g.gen
+        def with_data(xs):
+            t = g.normal(0.0, 1.0) @ "theta"
+            _ = g.normal(t * xs, 0.5) @ "y"
+
+        alg = ABCSMC(
+            with_data,
+            (data,),
+            Selection.at["theta"],
+            summary_fn=lambda tr: tr.get_choices()["y"],
+            observed_summary=jnp.zeros(7),
+            n_particles=32,
+            n_generations=2,
+            n_moves=1,
+        )
+        out = alg.run(jax.random.key(4))
+        (arg_leaf,) = jax.tree_util.tree_leaves(out["traces"].get_args())
+        assert arg_leaf.shape == (7,)  # no leading particle axis
 
     def test_jits_and_vmaps(self):
         alg = ABCSMC(

@@ -62,7 +62,7 @@ class TestParity:
         assert jnp.max(jnp.abs(jnp.std(ws, 0) - 0.2**0.5)) < 0.08
 
     def test_indivisible_particles_raises(self, mesh):
-        with pytest.raises(ValueError, match="must divide"):
+        with pytest.raises(ValueError, match="divisible"):
             sharded_svgd(
                 jax.random.key(0), vector_model, (Y,), ChoiceMap.kw(y=Y),
                 Selection.at["w"], n_particles=100, n_steps=1, mesh=mesh,
