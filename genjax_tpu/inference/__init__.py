@@ -10,6 +10,7 @@ from genjax_tpu.inference import (
     map_laplace,
     mcmc,
     nested,
+    parallel_tempering,
     particle_gibbs,
     pmmh,
     psis,
@@ -53,6 +54,7 @@ __all__ = [
     "marginal",
     "mcmc",
     "nested",
+    "parallel_tempering",
     "particle_gibbs",
     "pmmh",
     "psis",

@@ -1,6 +1,7 @@
 """Inference edit requests: MH-style rejuvenation, HMC, MALA,
-elliptical slice sampling."""
+elliptical slice sampling, Gaussian random-walk drift."""
 
+from genjax_tpu.inference.requests.drift import GaussianDrift
 from genjax_tpu.inference.requests.elliptical import (
     EllipticalSlice,
     elliptical_slice,
@@ -10,6 +11,7 @@ from genjax_tpu.inference.requests.rejuvenate import Rejuvenate
 
 __all__ = [
     "EllipticalSlice",
+    "GaussianDrift",
     "HMC",
     "MALA",
     "Rejuvenate",

@@ -33,6 +33,7 @@ def test_module_alls_covered():
         "genjax_tpu.inference.smc2",
         "genjax_tpu.inference.involutive",
         "genjax_tpu.inference.nested",
+        "genjax_tpu.inference.parallel_tempering",
         "genjax_tpu.inference.rjmcmc",
         "genjax_tpu.inference.abc",
     ]
