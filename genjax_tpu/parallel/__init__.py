@@ -17,6 +17,7 @@ from genjax_tpu.parallel.multihost import (
     pooled_lml,
     process_local_rows,
 )
+from genjax_tpu.parallel.pt import sharded_pt_run
 from genjax_tpu.parallel.svgd import sharded_stein_direction, sharded_svgd
 from genjax_tpu.parallel.smc import (
     ShardedSMC,
@@ -42,5 +43,6 @@ __all__ = [
     "sharded_ess",
     "sharded_lml",
     "sharded_mh_chains",
+    "sharded_pt_run",
     "sharded_systematic_ancestors",
 ]
