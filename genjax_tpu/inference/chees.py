@@ -1,7 +1,9 @@
 """ChEES-HMC: automatic trajectory-length adaptation across a chain batch.
 
 Beyond the reference (which ships fixed-(eps, L) HMC only). This is the
-accelerator-native answer to NUTS: NUTS builds a per-chain,
+accelerator-native answer to NUTS (which is also available:
+`inference.requests.NUTS`, in a static-budget SIMD formulation): NUTS
+builds a per-chain,
 data-dependent trajectory tree, so a SIMD batch of chains pads every
 step to the deepest tree and wastes most of its FLOPs; ChEES-HMC
 (Hoffman, Radul & Sountsov, AISTATS 2021, "An Adaptive-MCMC Scheme for
