@@ -77,6 +77,30 @@ def main():
     )
     assert abs(float(jnp.var(final2.get_choices()["fast"])) - 100.0) < 50.0
 
+    # --- 3c. NUTS: per-draw adaptive trajectories. The static-budget
+    # formulation costs 2^max_depth - 1 gradient passes per draw no
+    # matter when the trajectory turns, which is exactly what SIMD
+    # batching requires anyway — but for LARGE chain batches ChEES
+    # (above) extracts the same adaptivity at ~1 trajectory per draw.
+    # One-call version: sample_posterior(..., algorithm="nuts"). ---
+    from genjax_tpu.inference.requests import NUTS
+    from genjax_tpu.inference.requests.nuts import nuts_warmup
+
+    keys3 = jax.random.split(jax.random.key(9), 64)
+    trs3 = jax.vmap(lambda k: aniso.simulate(k, ()))(keys3)
+    warmed3, tuned3 = nuts_warmup(
+        jax.random.key(10), trs3, sel, n_steps=60, max_depth=6
+    )
+    # warmup finds the 100x mass-scale split on its own
+    assert (
+        float(tuned3.inv_mass["fast"]) / float(tuned3.inv_mass["slow"]) > 100
+    )
+    final3, _ = run_chains(
+        jax.random.key(11), warmed3,
+        NUTS(sel, tuned3.eps, 6, tuned3.inv_mass), 60,
+    )
+    assert abs(float(jnp.var(final3.get_choices()["fast"])) - 100.0) < 50.0
+
     # --- 4. PMMH: learn a state-space model's parameter ---
     @gen
     def init_model(a):

@@ -8,8 +8,8 @@ production user expects —
 
 1. a chain batch initialized by vmapped `importance` under the
    constraint (independent overdispersed starts),
-2. warmup (`adaptation.warmup_chains` for HMC/MALA, `chees.chees_warmup`
-   for automatic trajectory lengths),
+2. warmup (`adaptation.warmup_chains` for HMC/MALA, `requests.nuts_warmup`
+   for NUTS, `chees.chees_warmup` for automatic trajectory lengths),
 3. sampling with the tuned kernel,
 4. split R-hat and ESS on every collected latent.
 
@@ -98,6 +98,7 @@ def sample_posterior(
     n_warmup: int = 200,
     n_samples: int = 500,
     L: int = 10,
+    max_depth: int = 6,
     thin_burn: int = 0,
 ) -> PosteriorSamples:
     """Sample `p(latents | constraint)` for `model(*args)`.
@@ -105,9 +106,10 @@ def sample_posterior(
     `selection` defaults to every unconstrained address (the latents);
     the selected choices must be continuous (gradient-based kernels).
     `algorithm` is `"chees"` (automatic trajectory lengths, default),
-    `"hmc"` (fixed L with trajectory jitter), `"mala"`, or
-    `"elliptical"` (tuning-free slice moves for zero-mean
-    Gaussian-prior latents — no gradient, no step size).
+    `"hmc"` (fixed L with trajectory jitter), `"mala"`, `"nuts"`
+    (per-draw adaptive trajectories, up to `2**max_depth - 1` leapfrog
+    steps each), or `"elliptical"` (tuning-free slice moves for
+    zero-mean Gaussian-prior latents — no gradient, no step size).
 
     >>> import jax, jax.numpy as jnp
     >>> import genjax_tpu as gx
@@ -170,6 +172,20 @@ def sample_posterior(
             k_run, traces, req, n_samples, collect=collect
         )
         accept = tuned.accept_rate
+    elif algorithm == "nuts":
+        from genjax_tpu.inference.mcmc import run_chains
+        from genjax_tpu.inference.requests import NUTS
+        from genjax_tpu.inference.requests.nuts import nuts_warmup
+
+        traces, tuned = nuts_warmup(
+            k_warm, traces, selection, n_steps=n_warmup,
+            max_depth=max_depth,
+        )
+        req = NUTS(selection, tuned.eps, max_depth, tuned.inv_mass)
+        _, samples = run_chains(
+            k_run, traces, req, n_samples, collect=collect
+        )
+        accept = tuned.accept_rate
     elif algorithm == "elliptical":
         # Tuning-free: no warmup adaptation phase — the first n_warmup
         # collected sweeps are simply discarded as burn-in. Requires
@@ -188,7 +204,7 @@ def sample_posterior(
     else:
         raise ValueError(
             f"sample_posterior: unknown algorithm {algorithm!r}; expected "
-            "'chees', 'hmc', 'mala', or 'elliptical'."
+            "'chees', 'hmc', 'mala', 'nuts', or 'elliptical'."
         )
 
     if thin_burn:

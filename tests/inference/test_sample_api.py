@@ -1,4 +1,4 @@
-"""The one-call sampling API: all three algorithms recover the conjugate
+"""The one-call sampling API: all five algorithms recover the conjugate
 posterior with healthy diagnostics, selections default to the
 unconstrained addresses, and multivariate latents round-trip."""
 
@@ -21,7 +21,7 @@ def conjugate():
 
 
 class TestSamplePosterior:
-    @pytest.mark.parametrize("algorithm", ["chees", "hmc", "mala", "elliptical"])
+    @pytest.mark.parametrize("algorithm", ["chees", "hmc", "mala", "nuts", "elliptical"])
     def test_conjugate_exactness_and_diagnostics(self, algorithm):
         out = sample_posterior(
             jax.random.key(0),
@@ -106,5 +106,5 @@ class TestSamplePosterior:
                 jax.random.key(2),
                 conjugate,
                 ChoiceMap.kw(obs=1.0),
-                algorithm="nuts",
+                algorithm="slice-of-life",
             )
