@@ -506,6 +506,43 @@ normal_reparam = NormalREPARAM()
 
 
 @Pytree.dataclass
+class PushforwardREPARAM(TailCallADEVPrimitive):
+    """Generic pathwise strategy for an arbitrary differentiable
+    push-forward of standard-normal noise: `v = T(eps, *args)` with
+    `eps ~ N(0, I_{eps_shape})` held fixed under differentiation.
+
+    `NormalREPARAM` is the special case `T(eps, mu, sigma) = mu + sigma*eps`;
+    this generalization is the building block behind normalizing-flow
+    variational guides (`inference/flows.py`). No reference counterpart
+    (reference `adev/primitives.py` stops at the fixed-form reparam
+    strategies)."""
+
+    transform: Callable[..., Any] = Pytree.static()
+    eps_shape: tuple = Pytree.static(default=())
+
+    def sample(self, key, *args):
+        return self.transform(jax.random.normal(key, self.eps_shape), *args)
+
+    def before_tail_call(self, key: PRNGKey, dual_tree) -> Dual:
+        primals = tuple(Dual.tree_primal(dual_tree))
+        tangents = tuple(Dual.tree_tangent(dual_tree))
+        _, k_eps = jax.random.split(key)
+        eps = jax.random.normal(k_eps, self.eps_shape)
+        # The noise is fixed; the whole transform's JVP is the pathwise
+        # derivative (JAX differentiates through T's body).
+        value, d_value = jax.jvp(
+            lambda *a: self.transform(eps, *a), primals, tangents
+        )
+        return Dual(value, d_value)
+
+
+def pushforward_reparam(transform, eps_shape=()) -> PushforwardREPARAM:
+    """Pathwise-gradient primitive for `v = transform(eps, *args)`,
+    `eps ~ N(0, I)` of shape `eps_shape`."""
+    return PushforwardREPARAM(transform, tuple(eps_shape))
+
+
+@Pytree.dataclass
 class MvNormalDiagREPARAM(TailCallADEVPrimitive):
     def sample(self, key, *args):
         loc, scale_diag = args
