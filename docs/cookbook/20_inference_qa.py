@@ -1,9 +1,11 @@
 """Cookbook: inference quality assurance — one-call sampling with
-diagnostics, and PSIS importance-weight checks.
+diagnostics, PSIS importance-weight checks, and kernel validation
+(simulation-based calibration + the Geweke joint test).
 
-Two habits that separate production inference from demos: (1) never
-read posterior numbers without convergence diagnostics; (2) never trust
-an importance sampler without looking at its weight tail.
+Habits that separate production inference from demos: (1) never read
+posterior numbers without convergence diagnostics; (2) never trust an
+importance sampler without looking at its weight tail; (3) before
+shipping a custom kernel, prove it actually targets the posterior.
 """
 
 import jax
@@ -11,10 +13,11 @@ import jax.numpy as jnp
 
 import genjax_tpu as genjax
 from genjax_tpu import ChoiceMap as C
-from genjax_tpu import Target, gen, normal
+from genjax_tpu import Regenerate, Selection, Target, gen, normal
 from genjax_tpu.inference.psis import pareto_k, psis_smooth
 from genjax_tpu.inference.sample import sample_posterior
 from genjax_tpu.inference.smc import ImportanceK
+from genjax_tpu.inference.validation import geweke, sbc
 
 
 @gen
@@ -50,6 +53,28 @@ def main():
     # smoothing stabilizes downstream estimates without touching the body
     sm, _ = psis_smooth(lw)
     assert float(jnp.max(sm)) <= float(jnp.max(lw)) + 1e-5
+
+    # --- 3. SBC: is this kernel's posterior calibrated? ---
+    # Simulate (mu, y) pairs from the joint, run the kernel on each
+    # p(mu | y), and rank the prior mu among the chain draws. A correct
+    # kernel makes the ranks uniform; any systematic bias shows up as a
+    # non-flat histogram, reduced here to a chi-square p-value.
+    latents = Selection.at["mu"]
+    res = sbc(
+        jax.random.key(2), model, (), latents, Regenerate(latents),
+        n_replicates=256, n_draws=19, thin=3,
+    )
+    _, p_value = res.uniformity()
+    assert float(p_value[0]) > 1e-3, "kernel is miscalibrated"
+
+    # --- 4. Geweke: does the kernel leave the JOINT invariant? ---
+    # Alternate the kernel with an exact data refresh y ~ p(y | mu);
+    # the resulting chain must match forward simulation in every moment.
+    gw = geweke(
+        jax.random.key(3), model, (), latents, Regenerate(latents),
+        n_forward=2048, n_steps=256, n_chains=8,
+    )
+    assert float(gw.max_abs_z()) < 5.0, gw.z_scores
 
     print("inference qa cookbook OK")
 

@@ -23,6 +23,7 @@ from genjax_tpu.inference import (
     smoothing,
     svgd,
     tempered,
+    validation,
 )
 from genjax_tpu.inference.sp import (
     Algorithm,
@@ -67,5 +68,6 @@ __all__ = [
     "smoothing",
     "svgd",
     "tempered",
+    "validation",
     *_vi,
 ]

@@ -36,6 +36,7 @@ def test_module_alls_covered():
         "genjax_tpu.inference.parallel_tempering",
         "genjax_tpu.inference.rjmcmc",
         "genjax_tpu.inference.abc",
+        "genjax_tpu.inference.validation",
     ]
     missing = []
     for modname in mods:
