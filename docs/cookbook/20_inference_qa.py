@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import genjax_tpu as genjax
 from genjax_tpu import ChoiceMap as C
 from genjax_tpu import Regenerate, Selection, Target, gen, normal
-from genjax_tpu.inference.psis import pareto_k, psis_smooth
+from genjax_tpu.inference.psis import elpd_loo, pareto_k, psis_smooth
 from genjax_tpu.inference.sample import sample_posterior
 from genjax_tpu.inference.smc import ImportanceK
 from genjax_tpu.inference.validation import geweke, sbc
@@ -75,6 +75,30 @@ def main():
         n_forward=2048, n_steps=256, n_chains=8,
     )
     assert float(gw.max_abs_z()) < 5.0, gw.z_scores
+
+    # --- 5. PSIS-LOO: which model predicts held-out data better? ---
+    # Build the pointwise log-likelihood matrix ll[s, i] = log p(y_i |
+    # theta_s) from posterior draws, and compare models by estimated
+    # out-of-sample predictive density. Here: iid y ~ N(mu, 1) scored
+    # under the correct noise scale vs a misspecified one (conjugate
+    # posteriors, so the draws are exact).
+    from jax.scipy.stats import norm as _norm
+
+    ys = 0.7 + jax.random.normal(jax.random.key(4), (40,))
+    n_data, n_draws = ys.shape[0], 2000
+
+    def posterior_draws(noise_sd):
+        prec = 1.0 + n_data / noise_sd**2          # prior N(0, 1)
+        m, v = jnp.sum(ys) / noise_sd**2 / prec, 1.0 / prec
+        draws = m + jnp.sqrt(v) * jax.random.normal(
+            jax.random.key(5), (n_draws, 1)
+        )
+        return _norm.logpdf(ys[None, :], draws, noise_sd)
+
+    good = elpd_loo(posterior_draws(1.0))
+    bad = elpd_loo(posterior_draws(3.0))
+    assert float(jnp.max(good.pareto_k)) < 0.7    # weights trustworthy
+    assert float(good.elpd) > float(bad.elpd) + 2.0 * float(good.se)
 
     print("inference qa cookbook OK")
 

@@ -4,9 +4,18 @@ without material bias, and edge cases."""
 
 import jax
 import jax.numpy as jnp
+import jax.random as jrand
 import numpy as np
+import pytest
+from jax.scipy.special import logsumexp
+from jax.scipy.stats import norm
 
-from genjax_tpu.inference.psis import fit_gpd_shape, pareto_k, psis_smooth
+from genjax_tpu.inference.psis import (
+    elpd_loo,
+    fit_gpd_shape,
+    pareto_k,
+    psis_smooth,
+)
 
 
 def gpd_samples(rng, n, k):
@@ -83,3 +92,55 @@ class TestSmoothing:
         # psis 2.12+-0.23 — a 3x sd cut for ~0.13 bias)
         assert np.std(sm_means) < 0.6 * np.std(raw_means)
         assert abs(np.mean(sm_means) - 2.25) < 0.3
+
+
+class TestElpdLoo:
+    """PSIS-LOO vs the exact normal-normal LOO predictive."""
+
+    def _setup(self):
+        key = jrand.key(0)
+        n, S = 30, 8000
+        y = 0.7 + jrand.normal(jrand.fold_in(key, 1), (n,))
+        # prior mu ~ N(0,1), y_i ~ N(mu,1)
+        m_post = jnp.sum(y) / (n + 1)
+        v_post = 1.0 / (n + 1)
+        mus = m_post + jnp.sqrt(v_post) * jrand.normal(
+            jrand.fold_in(key, 2), (S, 1)
+        )
+        ll = norm.logpdf(y[None, :], mus, 1.0)
+        return y, mus, ll
+
+    def test_matches_exact_loo(self):
+        y, _, ll = self._setup()
+        n = y.shape[0]
+        tot = jnp.sum(y)
+        # exact leave-one-out predictive: N(y_i; sum_{-i}/n, 1/n + 1)
+        m_i = (tot - y) / n
+        exact = jnp.sum(norm.logpdf(y, m_i, jnp.sqrt(1.0 / n + 1.0)))
+        res = elpd_loo(ll)
+        assert abs(float(res.elpd) - float(exact)) < 0.15, (
+            float(res.elpd), float(exact),
+        )
+        # one scalar parameter => p_loo ~ 1
+        assert 0.5 < float(res.p_loo) < 2.0
+        # posterior-as-proposal for LOO: tails are healthy
+        assert float(jnp.max(res.pareto_k)) < 0.7
+
+    def test_orders_models(self):
+        y, mus, ll = self._setup()
+        res = elpd_loo(ll)
+        ll_bad = norm.logpdf(y[None, :], mus, 3.0)  # misspecified scale
+        res_bad = elpd_loo(ll_bad)
+        assert float(res.elpd) > float(res_bad.elpd) + 2.0 * float(res.se)
+
+    def test_penalizes_vs_in_sample(self):
+        _, _, ll = self._setup()
+        res = elpd_loo(ll)
+        lpd = float(
+            jnp.sum(logsumexp(ll, axis=0) - jnp.log(float(ll.shape[0])))
+        )
+        assert float(res.elpd) < lpd
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError, match="n_draws, n_data"):
+            elpd_loo(jnp.zeros((10,)))
