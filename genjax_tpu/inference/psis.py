@@ -23,7 +23,15 @@ import jax.numpy as jnp
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.typing import FloatArray
 
-__all__ = ["LOOResult", "elpd_loo", "fit_gpd_shape", "pareto_k", "psis_smooth"]
+__all__ = [
+    "LOOResult",
+    "WAICResult",
+    "elpd_loo",
+    "elpd_waic",
+    "fit_gpd_shape",
+    "pareto_k",
+    "psis_smooth",
+]
 
 _GRID = 128
 
@@ -219,4 +227,56 @@ def elpd_loo(loglik: FloatArray) -> LOOResult:
         p_loo=jnp.sum(lpd - pointwise),
         pointwise=pointwise,
         pareto_k=ks,
+    )
+
+
+@Pytree.dataclass
+class WAICResult(Pytree):
+    """WAIC estimate: `elpd` the expected held-out log pointwise
+    predictive density, `se` its standard error, `p_waic` the
+    effective parameter count (sum of pointwise posterior variances of
+    the log-likelihood), `pointwise` the per-datapoint contributions.
+    Prefer `elpd_loo` when any `p_waic` pointwise term is large (> 0.4);
+    WAIC's variance correction degrades before PSIS-LOO's does."""
+
+    elpd: FloatArray = Pytree.field()
+    se: FloatArray = Pytree.field()
+    p_waic: FloatArray = Pytree.field()
+    pointwise: FloatArray = Pytree.field()
+
+
+def elpd_waic(loglik: FloatArray) -> WAICResult:
+    """Widely applicable information criterion (Watanabe 2010), in the
+    elpd convention of Vehtari, Gelman & Gabry 2017 (eqns 10-12):
+    `elpd_waic_i = lpd_i - var_s(loglik[s, i])`. Same input as
+    `elpd_loo` — the (n_draws, n_data) pointwise log-likelihood matrix —
+    and asymptotically the same answer; WAIC is cheaper (no tail fits)
+    but lacks the per-point k-hat reliability diagnostic.
+
+    >>> import jax, jax.numpy as jnp
+    >>> from genjax_tpu.inference.psis import elpd_waic
+    >>> ll = -0.5 * jax.random.normal(jax.random.key(0), (2000, 25)) ** 2
+    >>> res = elpd_waic(ll)
+    >>> res.pointwise.shape
+    (25,)
+    >>> bool(res.p_waic > 0.0)
+    True
+    """
+    ll = jnp.asarray(loglik, dtype=jnp.result_type(float))
+    if ll.ndim != 2:
+        raise ValueError(
+            f"elpd_waic expects loglik of shape (n_draws, n_data); got "
+            f"{ll.shape}."
+        )
+    s = ll.shape[0]
+    lpd = jax.scipy.special.logsumexp(ll, axis=0) - jnp.log(float(s))
+    p_i = jnp.var(ll, axis=0, ddof=1)
+    pointwise = lpd - p_i
+    n = pointwise.shape[0]
+    se = jnp.sqrt(n * jnp.var(pointwise, ddof=1)) if n > 1 else jnp.inf
+    return WAICResult(
+        elpd=jnp.sum(pointwise),
+        se=se,
+        p_waic=jnp.sum(p_i),
+        pointwise=pointwise,
     )

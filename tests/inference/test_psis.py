@@ -12,6 +12,7 @@ from jax.scipy.stats import norm
 
 from genjax_tpu.inference.psis import (
     elpd_loo,
+    elpd_waic,
     fit_gpd_shape,
     pareto_k,
     psis_smooth,
@@ -144,3 +145,25 @@ class TestElpdLoo:
     def test_shape_validation(self):
         with pytest.raises(ValueError, match="n_draws, n_data"):
             elpd_loo(jnp.zeros((10,)))
+
+
+class TestElpdWaic:
+    def test_agrees_with_loo_when_wellspecified(self):
+        # Same conjugate setup as TestElpdLoo: WAIC and PSIS-LOO are
+        # asymptotically equal; at n=30, S=8000 they agree closely.
+        key = jrand.key(0)
+        n, S = 30, 8000
+        y = 0.7 + jrand.normal(jrand.fold_in(key, 1), (n,))
+        m_post = jnp.sum(y) / (n + 1)
+        mus = m_post + jnp.sqrt(1.0 / (n + 1)) * jrand.normal(
+            jrand.fold_in(key, 2), (S, 1)
+        )
+        ll = norm.logpdf(y[None, :], mus, 1.0)
+        waic = elpd_waic(ll)
+        loo = elpd_loo(ll)
+        assert abs(float(waic.elpd) - float(loo.elpd)) < 0.1
+        assert 0.5 < float(waic.p_waic) < 2.0  # one scalar parameter
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError, match="n_draws, n_data"):
+            elpd_waic(jnp.zeros((3, 4, 5)))
