@@ -47,6 +47,7 @@ from genjax_tpu.core.choice_map import Selection
 from genjax_tpu.core.concepts import EditRequest
 from genjax_tpu.core.diff import Diff
 from genjax_tpu.core.gfi import GenerativeFunction, Trace
+from genjax_tpu.core.mask import Mask
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.requests import Regenerate
 from genjax_tpu.core.typing import FloatArray, PRNGKey
@@ -79,9 +80,30 @@ def _flat_summaries(selection: Selection, with_squares: bool):
 
     def g(trace: Trace[Any]) -> FloatArray:
         chm = trace.get_choices().filter(selection)
+        # Unwrap Mask nodes explicitly: a runtime-valued (Mask-deferred)
+        # selection would otherwise leak stale masked-out leaf contents
+        # into the summaries and silently corrupt ranks/moments.
+        values = []
+        for node in jtu.tree_leaves(
+            chm, is_leaf=lambda x: isinstance(x, Mask)
+        ):
+            if isinstance(node, Mask):
+                flag = node.primal_flag()
+                if isinstance(flag, jax.core.Tracer) or jnp.ndim(flag) > 0:
+                    raise ValueError(
+                        "validation: the selection produced a "
+                        "runtime-valued Mask; only statically resolvable "
+                        "selections are supported here. Pass an explicit "
+                        "`summaries` function."
+                    )
+                if not bool(flag):
+                    continue
+                values.extend(jtu.tree_leaves(node.value))
+            else:
+                values.append(node)
         leaves = [
             jnp.ravel(jnp.asarray(v, jnp.result_type(float)))
-            for v in jtu.tree_leaves(chm)
+            for v in values
             if jnp.asarray(v).dtype != jnp.bool_
         ]
         if not leaves:
@@ -132,7 +154,17 @@ class SBCResult(Pytree):
         that summary."""
         n_bins = self._n_bins(n_bins)
         counts = self.histogram(n_bins)  # (S, n_bins)
-        expected = jnp.sum(counts, axis=-1, keepdims=True) / n_bins
+        # Integer binning maps an unequal number of rank values into
+        # each bin whenever (n_draws + 1) % n_bins != 0; the expected
+        # count per bin must follow those actual widths, or a chi-square
+        # against a flat expectation rejects exactly-uniform ranks.
+        rank_values = jnp.arange(self.n_draws + 1)
+        rank_bins = rank_values * n_bins // (self.n_draws + 1)
+        widths = jnp.sum(
+            jax.nn.one_hot(rank_bins, n_bins, dtype=jnp.float32), axis=0
+        )  # (n_bins,)
+        total = jnp.sum(counts, axis=-1, keepdims=True)
+        expected = total * widths / (self.n_draws + 1)
         stat = jnp.sum(jnp.square(counts - expected) / expected, axis=-1)
         df = (n_bins - 1) / 2.0
         p = 1.0 - jax.scipy.special.gammainc(df, stat / 2.0)

@@ -12,6 +12,11 @@ large 1-D reductions to it on TPU backends.
 interpret mode, and DELETED: the search-free XLA formulation in
 `inference/smc.py` — scatter + `lax.cummax` — is faster than any
 per-probe search, kernel or not.)
+
+Mosaic lowering caveat (learned from that deleted kernel): TPU Mosaic's
+gather lowering only supports ELEMENTWISE-form indices — `x[idx]` with a
+free gather axis fails to lower; reformulate as one-hot matmul, scatter,
+or `lax.cummax`-style scans instead.
 """
 
 import jax

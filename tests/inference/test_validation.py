@@ -91,6 +91,24 @@ class TestSBC:
         with pytest.raises(ValueError, match="n_bins"):
             res.uniformity(n_bins=100)
 
+    def test_unequal_bin_widths_keep_exact_uniformity(self):
+        # Regression: with (n_draws + 1) % n_bins != 0, integer binning
+        # gives unequal-width bins; the chi-square must use per-bin
+        # expected counts or exactly-uniform ranks (a correct kernel)
+        # get rejected. Advisor round 3, high severity.
+        for n_draws in (30, 100):
+            ranks = jnp.tile(jnp.arange(n_draws + 1), 10)[:, None]
+            res = SBCResult(ranks=ranks, n_draws=n_draws)
+            stat, p = res.uniformity(n_bins=20)
+            assert float(stat[0]) < 1e-4, (n_draws, float(stat[0]))
+            assert float(p[0]) > 0.999
+        # And a degenerate (all-zero) rank set still rejects decisively.
+        res = SBCResult(
+            ranks=jnp.zeros((310, 1), dtype=jnp.int32), n_draws=30
+        )
+        _, p = res.uniformity(n_bins=20)
+        assert float(p[0]) < 1e-8
+
     def test_custom_summaries_and_shapes(self):
         res = sbc(
             jax.random.key(4), nn_model, (), LATENTS,
