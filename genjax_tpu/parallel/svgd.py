@@ -44,35 +44,36 @@ def sharded_stein_direction(
     axis: str,
     n_total: int,
     bandwidth: float | None = None,
+    kernel_dtype=None,
 ):
     """Per-shard rows of the Stein direction phi. Call inside
     `shard_map` with `x_local`/`g_local` the shard's (n_local, D)
-    blocks; performs two `all_gather`s and local matmuls."""
+    blocks; performs two `all_gather`s, then the fused single-matmul
+    kernel block (`inference.svgd.stein_phi_block` — shared with the
+    dense driver, so a given `h` gives bit-identical transport)."""
     x_all = jax.lax.all_gather(x_local, axis, tiled=True)
     g_all = jax.lax.all_gather(g_local, axis, tiled=True)
-    x2_local = jnp.sum(x_local * x_local, axis=-1)
-    x2_all = jnp.sum(x_all * x_all, axis=-1)
-    d2 = x2_local[:, None] + x2_all[None, :] - 2.0 * (x_local @ x_all.T)
-    d2 = jnp.maximum(d2, 0.0)
     if bandwidth is None:
-        # Median over a column-capped block (full-matrix medians are a
-        # per-step n^2 sort — see inference/svgd.py::_MEDIAN_SAMPLE),
-        # pmean-averaged so every shard uses the same h.
+        # Median over a column-capped local block (full-matrix medians
+        # are a per-step n^2 sort — see inference/svgd.py::
+        # _MEDIAN_SAMPLE), pmean-averaged so every shard uses the same h.
         from genjax_tpu.inference.svgd import _MEDIAN_SAMPLE
 
-        m = min(d2.shape[1], _MEDIAN_SAMPLE)
-        h = jax.lax.pmean(jnp.median(d2[:, :m]), axis) / jnp.log(
-            float(n_total + 1)
+        m = min(x_all.shape[0], _MEDIAN_SAMPLE)
+        x2_local = jnp.sum(x_local * x_local, axis=-1)
+        x2_m = jnp.sum(x_all[:m] * x_all[:m], axis=-1)
+        d2m = x2_local[:, None] + x2_m[None, :] - 2.0 * (
+            x_local @ x_all[:m].T
         )
+        h = jax.lax.pmean(
+            jnp.median(jnp.maximum(d2m, 0.0)), axis
+        ) / jnp.log(float(n_total + 1))
         h = jnp.maximum(h, 1e-12)
     else:
         h = jnp.asarray(bandwidth)
-    K = jnp.exp(-d2 / h)  # (n_local, N) block of the kernel
-    smoothed = K @ g_all
-    repulsion = (2.0 / h) * (
-        jnp.sum(K, axis=1, keepdims=True) * x_local - K @ x_all
-    )
-    return (smoothed + repulsion) / float(n_total)
+    from genjax_tpu.inference.svgd import stein_phi_block
+
+    return stein_phi_block(x_local, x_all, g_all, h, n_total, kernel_dtype)
 
 
 def sharded_svgd(
