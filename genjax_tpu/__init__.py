@@ -66,9 +66,10 @@ __all__ = [  # noqa: PLE0604
     "time_machine",
 ]
 
-# Whole-API validation wrappers (reference beartype parity; the checks
-# are inert until `checked_mode()` / `do_checked(True)` — see
-# core/typecheck.py).
+# Whole-API validation wrappers (reference beartype parity; ON by
+# default — `core.typecheck.do_typecheck(False)` disables, and
+# `checked_mode()` / `do_checked(True)` adds the deeper GFI entry
+# validation — see core/typecheck.py).
 import sys as _sys  # noqa: E402
 
 from genjax_tpu.core import typecheck as _typecheck  # noqa: E402

@@ -1,6 +1,7 @@
 """Core layer: pytree base, staging utilities, generative data types, GFI."""
 
 from genjax_tpu.core.checked import checked_mode, do_checked
+from genjax_tpu.core.typecheck import do_typecheck, is_typechecked
 from genjax_tpu.core.checkify import do_checkify, optional_check
 from genjax_tpu.core.choice_map import (
     Address,
@@ -89,8 +90,10 @@ __all__ = [
     "checked_mode",
     "do_checked",
     "do_checkify",
+    "do_typecheck",
     "empty_trace",
     "incremental",
+    "is_typechecked",
     "multi_switch",
     "nth",
     "optional_check",

@@ -3,13 +3,18 @@
 The reference instruments its entire public API with beartype at import
 (`/root/reference/src/genjax/__init__.py:23-33`, conf at `:26-31`), so a
 malformed argument anywhere raises a typed error naming the parameter.
-This build keeps the TPU-first default of zero Python overhead on traced
-paths, and instead installs lightweight annotation-driven wrappers once
-at import (`instrument()`, called from `genjax_tpu/__init__.py`). The
-wrappers are no-ops unless `checked_mode()` / `do_checked(True)` is
-active — the same switch that gates GFI entry-point validation
-(`core/checked.py`) — and they only enforce the annotations whose
-violation signals a real user mistake:
+This build installs lightweight annotation-driven wrappers once at
+import (`instrument()`, called from `genjax_tpu/__init__.py`), ON BY
+DEFAULT for the same out-of-the-box protection: a dict passed where a
+ChoiceMap belongs, a Selection/ChoiceMap swap, or a raw-int seed raises
+a typed error naming the parameter without any opt-in. The checks are a
+handful of `isinstance` tests per public call at Python call time —
+i.e. trace time only; compiled HLO is identical (`do_typecheck(False)`
+turns them off for trace-time-critical host loops). The deeper GFI
+entry-point validation (`core/checked.py`) stays opt-in via
+`checked_mode()` / `do_checked(True)`, which also forces these wrappers
+on. Only annotations whose violation signals a real user mistake are
+enforced:
 
 - framework classes (`ChoiceMap`, `Selection`, `Trace`, `EditRequest`,
   `GenerativeFunction`, `Mask`, `Diff`, ...) — a dict where a ChoiceMap
@@ -39,6 +44,23 @@ import numpy as np
 from genjax_tpu.core import checked
 
 _MARK = "__gx_typechecked__"
+
+# Default-on (reference beartype parity). Trace-time-only cost; flip off
+# with `do_typecheck(False)` for hosts that retrace public entry points
+# in a tight Python loop.
+_ENABLED = True
+
+
+def do_typecheck(enable: bool = True) -> None:
+    """Globally enable/disable the always-on public-API argument checks
+    (independent of the deeper opt-in `checked_mode()` validation, which
+    forces them on while active)."""
+    global _ENABLED
+    _ENABLED = enable
+
+
+def is_typechecked() -> bool:
+    return _ENABLED or checked.is_checked()
 
 # Accepted wherever an array or numeric scalar is annotated. Deliberately
 # wide — rejecting e.g. a python int where `jax.Array` is annotated would
@@ -139,32 +161,44 @@ def _wrap(fn: Callable, qualname: str) -> Callable:
         sig = inspect.signature(fn)
     except Exception:
         return fn
-    checks = {}
+    # Precompute (positional_index | None, name, pred, desc) so the
+    # always-on wrapper is a short isinstance loop — no `sig.bind` on
+    # the hot path (that alone would triple trace-time call cost).
+    checks = []
+    pos = 0
     for name, param in sig.parameters.items():
-        if param.kind in (param.VAR_POSITIONAL, param.VAR_KEYWORD):
+        if param.kind is param.VAR_POSITIONAL:
+            pos = None  # everything after *args is keyword-only
             continue
+        if param.kind is param.VAR_KEYWORD:
+            continue
+        idx = None
+        if param.kind in (param.POSITIONAL_ONLY, param.POSITIONAL_OR_KEYWORD):
+            idx = pos
+            if pos is not None:
+                pos += 1
         pred = _predicate(hints.get(name, param.annotation), name)
         if pred is not None:
-            checks[name] = pred
+            checks.append((idx, name, pred[0], pred[1]))
     if not checks:
         return fn
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        if checked.is_checked():
-            try:
-                bound = sig.bind(*args, **kwargs)
-            except TypeError as e:
-                raise TypeError(f"{qualname}: {e}") from None
-            for name, (pred, desc) in checks.items():
-                if name in bound.arguments:
-                    v = bound.arguments[name]
-                    if not pred(v):
-                        raise TypeError(
-                            f"{qualname}: parameter `{name}` expected "
-                            f"{desc}; got {type(v).__name__}: {v!r}"
-                            f"{_hint(desc, v)}"
-                        )
+        if _ENABLED or checked.is_checked():
+            for idx, name, pred, desc in checks:
+                if idx is not None and idx < len(args):
+                    v = args[idx]
+                elif name in kwargs:
+                    v = kwargs[name]
+                else:
+                    continue  # defaulted — nothing to validate
+                if not pred(v):
+                    raise TypeError(
+                        f"{qualname}: parameter `{name}` expected "
+                        f"{desc}; got {type(v).__name__}: {v!r}"
+                        f"{_hint(desc, v)}"
+                    )
         return fn(*args, **kwargs)
 
     setattr(wrapper, _MARK, True)

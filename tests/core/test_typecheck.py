@@ -3,7 +3,10 @@
 Reference: `src/genjax/__init__.py:23-33` instruments the whole package
 with beartype so malformed inputs raise typed errors naming the
 parameter. This build's equivalent (`core/typecheck.py`) installs
-annotation-driven wrappers at import, gated on `checked_mode()`."""
+annotation-driven wrappers at import, ON BY DEFAULT (matching the
+reference's always-on beartype); `do_typecheck(False)` disables them,
+and `checked_mode()` forces them back on plus the deeper GFI entry
+validation."""
 
 import jax
 import pytest
@@ -95,17 +98,56 @@ class TestValidCallsUnchanged:
                 new_tr, *_ = req.edit(jax.random.key(2), tr, Diff.no_change(()))
                 assert new_tr.get_score().shape == ()
 
-    def test_disabled_mode_skips_checks(self, tr):
-        # Outside checked mode the wrappers are inert: wrong types fall
-        # through to whatever the implementation does (usually a JAX
-        # error, sometimes an incidental success) — but never the typed
-        # boundary error.
-        try:
+    def test_default_on_catches_without_optin(self, tr):
+        # Reference beartype parity: no opt-in needed — a dict where a
+        # ChoiceMap belongs raises the typed boundary error by default.
+        with pytest.raises(TypeError, match=r"merge.*other"):
             tr.get_choices().merge({"y": 1})
-        except TypeError as e:
-            assert "`other`" not in str(e)
-        except Exception:
-            pass
+        with pytest.raises(TypeError, match=r"key.*PRNG"):
+            model.simulate(7, ())
+
+    def test_do_typecheck_false_disables(self, tr):
+        from genjax_tpu.core.typecheck import do_typecheck, is_typechecked
+
+        assert is_typechecked()
+        do_typecheck(False)
+        try:
+            assert not is_typechecked()
+            # Wrappers inert: wrong types fall through to whatever the
+            # implementation does — but never the typed boundary error.
+            try:
+                tr.get_choices().merge({"y": 1})
+            except TypeError as e:
+                assert "`other`" not in str(e)
+            except Exception:
+                pass
+            # checked_mode still forces the wrappers on while disabled.
+            with checked_mode():
+                with pytest.raises(TypeError, match=r"merge.*other"):
+                    tr.get_choices().merge({"y": 1})
+        finally:
+            do_typecheck(True)
+        assert is_typechecked()
+
+
+class TestZeroCompiledCost:
+    def test_hlo_identical_with_and_without_typecheck(self):
+        # The wrappers run at Python call time only; the traced
+        # computation — and therefore the compiled HLO — must be
+        # bit-identical with validation on and off.
+        from genjax_tpu.core.typecheck import do_typecheck
+
+        def run(key):
+            return model.simulate(key, ()).get_score()
+
+        key = jax.random.key(0)
+        on = jax.jit(run).lower(key).as_text()
+        do_typecheck(False)
+        try:
+            off = jax.jit(run).lower(key).as_text()
+        finally:
+            do_typecheck(True)
+        assert on == off
 
 
 class TestInstrumentation:
