@@ -1,0 +1,375 @@
+"""Structural GFI fuzzer: random combinator nestings vs the GFI contract.
+
+Round-3 verdict item: value-level fuzzing (test_gfi_properties.py) holds
+model STRUCTURE fixed, but the edit-weight algebra's hard cases are
+structural — Switch inside Scan inside Vmap, Mask flags flipping during
+Regenerate, constraints that straddle combinator boundaries. This
+fuzzer *generates model structures*: a spec grammar over
+scan / repeat(vmap) / switch / mask / mix / dimap / static-nesting with
+distribution leaves (normal, gamma+normal chain, flip, beta), built
+into real generative functions, then checked against the GFI contract:
+
+  1. simulate/assess agreement (score and retval);
+  2. generate (importance) weight telescoping:
+       w == score - project(~constrained), with the constrained set a
+       random subset of root addresses filtered out of an independent
+       trace — so constraints pin whole subtrees, including discrete
+       controls (switch indices, mask flags), forcing branch changes
+       and flag flips THROUGH the constraint path;
+  3. update weight telescoping w == Δscore plus the discard round
+     trip (apply the backward Update(discard) and recover the original
+     score exactly) — the edit/inverse-edit identity;
+  4. regenerate weight == Δ joint score, with selections that include
+     the discrete controls (so Regenerate itself flips mask flags and
+     switch branches);
+  5. project partitions the score: project(sel) + project(~sel) == score.
+
+Two generators feed the same contract battery:
+
+- an exhaustive depth-2 sweep over every ordered (outer, inner)
+  combinator pair — 7 x 7 = 49 structures plus all leaves, so every
+  pairwise nesting (including the reference's known-broken
+  switch-under-scan case, `_src/.../switch.py:295`) is covered every
+  run, deterministically;
+- a Hypothesis strategy over random depth-<=3 specs (~160 examples
+  across the three test methods), which reaches the triple nestings
+  (e.g. mask(switch(scan(...)))) and random constraint patterns.
+
+That totals >200 distinct random/exhaustive structures per CI run.
+Reference: the GFI laws are the reference's own conformance suite
+(`tests/core/...` asserts the same identities per-combinator); here
+they are asserted over the COMPOSITION of combinators.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import genjax_tpu as g
+from genjax_tpu import ChoiceMap, Diff, Regenerate, Selection, Update
+
+ATOL = 2e-3  # f32 sums of ~dozens of logpdfs
+
+# ---------------------------------------------------------------------------
+# Spec grammar -> generative function builder
+#
+# Every node builds a gen fn with signature (x: scalar) -> scalar, plus
+# the list of its ROOT-level addresses. Constraints/selections are formed
+# from root addresses only: selecting an address pins/regenerates its
+# whole subtree (controls included), which keeps the weight identities
+# exact even when the selected subtree contains branch/existence
+# structure. All sizes are tiny (scan n=3, repeat n=2) — the point is
+# structural interaction, not scale.
+# ---------------------------------------------------------------------------
+
+N_LEAVES = 4
+COMBINATORS = ("call", "scan", "repeat", "switch", "mask", "mix", "dimap")
+
+
+def _leaf(kind: int):
+    kind = kind % N_LEAVES
+    if kind == 0:
+
+        @g.gen
+        def leaf0(x):
+            v = g.normal(x, 1.0) @ "v"
+            return v * 0.5
+
+        return leaf0, ["v"]
+    if kind == 1:
+
+        @g.gen
+        def leaf1(x):
+            v = g.gamma(2.0, 1.0 + x * x) @ "v"
+            u = g.normal(v, 0.5) @ "u"
+            return jnp.tanh(u)
+
+        return leaf1, ["v", "u"]
+    if kind == 2:
+
+        @g.gen
+        def leaf2(x):
+            b = g.flip(jax.nn.sigmoid(x)) @ "b"
+            return x + jnp.float32(b)
+
+        return leaf2, ["b"]
+
+    @g.gen
+    def leaf3(x):
+        # Fixed (0, 1) support: constraints transplanted from any other
+        # trace stay inside it, so cross-trace updates never produce
+        # -inf scores.
+        v = g.beta(1.0 + jax.nn.softplus(x), 2.0) @ "v"
+        return v - 0.5
+
+    return leaf3, ["v"]
+
+
+def build(spec):
+    """Build `(gen_fn, root_addresses)` from a spec tree.
+
+    Specs: `("leaf", k)` or `(combinator, subspec...)` per COMBINATORS.
+    """
+    head = spec[0]
+    if head == "leaf":
+        return _leaf(spec[1])
+
+    if head == "call":
+        g1, _ = build(spec[1])
+        g2, _ = build(spec[2])
+
+        @g.gen
+        def call_node(x):
+            a = g1(x) @ "l"
+            b = g2(a) @ "r"
+            return 0.5 * (a + b)
+
+        return call_node, ["l", "r"]
+
+    if head == "scan":
+        gs, _ = build(spec[1])
+
+        @g.gen
+        def step(c, _):
+            c2 = gs(c) @ "k"
+            return c2, c2
+
+        scanned = step.scan(n=3)
+
+        @g.gen
+        def scan_node(x):
+            c, ys = scanned(x, None) @ "sc"
+            return c + 0.1 * jnp.sum(ys)
+
+        return scan_node, ["sc"]
+
+    if head == "repeat":
+        gs, _ = build(spec[1])
+        repeated = gs.repeat(n=2)
+
+        @g.gen
+        def repeat_node(x):
+            ys = repeated(x) @ "rp"
+            return jnp.mean(ys)
+
+        return repeat_node, ["rp"]
+
+    if head == "switch":
+        g1, _ = build(spec[1])
+        g2, _ = build(spec[2])
+        sw = g.switch(g1, g2)
+
+        @g.gen
+        def switch_node(x):
+            b = g.flip(0.5) @ "idx"
+            r = sw(jnp.int32(b), (x,), (x + 0.5,)) @ "sw"
+            return r
+
+        return switch_node, ["idx", "sw"]
+
+    if head == "mask":
+        gs, _ = build(spec[1])
+        mk = gs.mask()
+
+        @g.gen
+        def mask_node(x):
+            on = g.flip(0.7) @ "on"
+            m = mk(on, x) @ "mk"
+            return jnp.where(m.primal_flag(), m.value, x)
+
+        return mask_node, ["on", "mk"]
+
+    if head == "mix":
+        g1, _ = build(spec[1])
+        g2, _ = build(spec[2])
+        mixed = g.mix(g1, g2)
+
+        @g.gen
+        def mix_node(x):
+            r = mixed(jnp.array([0.3, -0.2]), (x,), (x - 0.5,)) @ "mx"
+            return r
+
+        return mix_node, ["mx"]
+
+    if head == "dimap":
+        gs, _ = build(spec[1])
+        dm = gs.dimap(
+            pre=lambda x: (2.0 * x + 0.25,),
+            post=lambda _args, _xf, r: r * 0.5 - 0.1,
+        )
+
+        @g.gen
+        def dimap_node(x):
+            r = dm(x) @ "dm"
+            return r
+
+        return dimap_node, ["dm"]
+
+    raise ValueError(f"unknown spec head {head!r}")
+
+
+# ---------------------------------------------------------------------------
+# The GFI contract battery
+# ---------------------------------------------------------------------------
+
+
+def _subset_selection(addrs, bits: int):
+    """Selection over the `bits`-indexed subset of root addresses."""
+    sel = Selection.none()
+    for i, a in enumerate(addrs):
+        if bits & (1 << i):
+            sel = sel | Selection.at[a]
+    return sel
+
+
+def _close(a, b, what, spec):
+    assert jnp.allclose(a, b, atol=ATOL), (
+        f"{what}: {a} vs {b} (diff {jnp.max(jnp.abs(a - b))}) for spec {spec}"
+    )
+
+
+def check_contract(spec, seed: int, x: float, bits: int):
+    gf, addrs = build(spec)
+    args = (jnp.float32(x),)
+    k = jax.random.key(seed)
+    ks = jax.random.split(k, 8)
+
+    # (1) simulate/assess agree.
+    tr = gf.simulate(ks[0], args)
+    score, retval = gf.assess(tr.get_choices(), args)
+    _close(score, tr.get_score(), "assess score", spec)
+    _close(retval, tr.get_retval(), "assess retval", spec)
+
+    sel = _subset_selection(addrs, bits)
+
+    # (5) project partitions the score.
+    p_sel = tr.project(ks[1], sel)
+    p_com = tr.project(ks[1], ~sel)
+    _close(p_sel + p_com, tr.get_score(), "project partition", spec)
+
+    # An independent trace donates constraint values (different branch
+    # indices / mask flags with ~50% probability — the hard cases).
+    donor = gf.simulate(ks[2], args)
+    constraint = donor.get_choices().filter(sel)
+
+    # (2) generate weight telescopes: the constrained subtrees' score is
+    # the weight; everything else was internally proposed.
+    tr2, w2 = gf.generate(ks[3], constraint, args)
+    internal = tr2.project(ks[4], ~sel)
+    _close(w2, tr2.get_score() - internal, "generate telescoping", spec)
+
+    # (3) update telescoping + discard round trip (edit/inverse-edit).
+    new_tr, w3, _, bwd = gf.edit(
+        ks[5], tr, Update(constraint), Diff.no_change(args)
+    )
+    _close(w3, new_tr.get_score() - tr.get_score(), "update telescoping", spec)
+    if isinstance(bwd, Update):
+        back, w4, _, _ = gf.edit(
+            ks[6], new_tr, bwd, Diff.no_change(args)
+        )
+        _close(back.get_score(), tr.get_score(), "discard round trip", spec)
+        _close(w3 + w4, 0.0, "update weight antisymmetry", spec)
+
+    # (4) regenerate weight == Δ joint score, selection including the
+    # discrete controls (mask flags / switch indices regenerate too).
+    new_tr2, w5, _, _ = Regenerate(sel).edit(
+        ks[7], tr, Diff.no_change(args)
+    )
+    _close(
+        w5, new_tr2.get_score() - tr.get_score(), "regenerate weight", spec
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exhaustive pairwise sweep: every (outer, inner) nesting.
+# ---------------------------------------------------------------------------
+
+
+def _wrap(head, inner):
+    """One combinator layer around `inner` (binary heads get a leaf as
+    the second operand so the pair under test stays the focus)."""
+    if head in ("call", "switch", "mix"):
+        return (head, inner, ("leaf", 0))
+    return (head, inner)
+
+
+PAIRS = [
+    (outer, inner)
+    for outer in COMBINATORS
+    for inner in COMBINATORS
+]
+
+
+class TestExhaustivePairwise:
+    @pytest.mark.parametrize("kind", range(N_LEAVES))
+    def test_leaves(self, kind):
+        check_contract(("leaf", kind), seed=kind, x=0.3, bits=0b11)
+
+    @pytest.mark.parametrize("outer,inner", PAIRS)
+    def test_all_pairwise_nestings(self, outer, inner):
+        spec = _wrap(outer, _wrap(inner, ("leaf", 1)))
+        # bits=0b11 selects both root addresses (control + body where
+        # present) — the flag-flip / branch-change path.
+        check_contract(spec, seed=hash((outer, inner)) % 997, x=0.4, bits=0b11)
+
+    @pytest.mark.parametrize("outer,inner", PAIRS[::3])
+    def test_pairwise_partial_selection(self, outer, inner):
+        # bits=0b01 selects only the FIRST root address: for switch/mask
+        # outers that's the bare control (index/flag) with the body left
+        # unconstrained — the straddling-constraint case.
+        spec = _wrap(outer, _wrap(inner, ("leaf", 3)))
+        check_contract(spec, seed=hash((inner, outer)) % 997, x=-0.2, bits=0b01)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: random depth-<=3 structures and random selections.
+# ---------------------------------------------------------------------------
+
+specs = st.deferred(
+    lambda: st.one_of(
+        st.tuples(st.just("leaf"), st.integers(0, N_LEAVES - 1)),
+        st.tuples(st.just("scan"), specs),
+        st.tuples(st.just("repeat"), specs),
+        st.tuples(st.just("mask"), specs),
+        st.tuples(st.just("dimap"), specs),
+        st.tuples(st.just("call"), specs, specs),
+        st.tuples(st.just("switch"), specs, specs),
+        st.tuples(st.just("mix"), specs, specs),
+    )
+)
+
+
+def _depth(spec):
+    return 1 + max((_depth(s) for s in spec[1:] if isinstance(s, tuple)), default=0)
+
+
+shallow_specs = specs.filter(lambda s: _depth(s) <= 3)
+
+
+class TestRandomStructures:
+    @settings(max_examples=80, deadline=None)
+    @given(
+        shallow_specs,
+        st.integers(0, 2**16),
+        st.floats(-1.5, 1.5, allow_nan=False),
+        st.integers(0, 3),
+    )
+    def test_contract_random_structures(self, spec, seed, x, bits):
+        check_contract(spec, seed=seed, x=x, bits=bits)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2**16), st.floats(-1.0, 1.0, allow_nan=False))
+    def test_triple_nest_switch_scan_repeat(self, seed, x):
+        # The reference's own broken case, three deep: switch under scan
+        # under repeat(vmap), full-selection constraints.
+        spec = ("repeat", ("scan", ("switch", ("leaf", 1), ("leaf", 2))))
+        check_contract(spec, seed=seed, x=x, bits=0b1)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2**16), st.floats(-1.0, 1.0, allow_nan=False))
+    def test_triple_nest_mask_switch_scan(self, seed, x):
+        # Mask flags flipping around branch structure inside a scan.
+        spec = ("mask", ("switch", ("scan", ("leaf", 0)), ("leaf", 3)))
+        check_contract(spec, seed=seed, x=x, bits=0b11)
