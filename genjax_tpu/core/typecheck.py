@@ -110,6 +110,18 @@ def _predicate(ann: Any, param_name: str):
             )
         return None
     if ann is tuple:
+        if param_name == "argdiffs":
+            # Argdiffs currency: a tuple of (possibly Diff-wrapped)
+            # values OR a Diff node wrapping the whole argument tuple —
+            # both are handled by Diff.tree_primal throughout the edit
+            # paths (e.g. Switch forwards per-branch Diff-of-tuple
+            # argdiffs to its branches).
+            from genjax_tpu.core.diff import Diff
+
+            return (
+                lambda v: isinstance(v, (tuple, Diff)),
+                "tuple of argdiffs (or a Diff of the argument tuple)",
+            )
         return (lambda v: isinstance(v, tuple), "tuple")
     if ann is jax.Array and param_name == "key":
         return (_key_predicate, "a JAX PRNG key (jax.random.key(seed))")
