@@ -26,3 +26,30 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh, not the tunneled TPU"
 )
+
+
+# ---------------------------------------------------------------------------
+# Smoke tier: `pytest -m smoke` runs a <5-minute cross-subsystem proof
+# subset (every module's cheapest exactness tests). Membership lives in
+# tests/smoke_set.txt as node-id prefixes, one per line; keep it fast —
+# the full suite is the correctness gate, smoke is the iteration loop.
+# ---------------------------------------------------------------------------
+import pathlib
+
+import pytest
+
+_SMOKE_FILE = pathlib.Path(__file__).parent / "smoke_set.txt"
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _SMOKE_FILE.exists():
+        return
+    prefixes = [
+        ln.strip()
+        for ln in _SMOKE_FILE.read_text().splitlines()
+        if ln.strip() and not ln.startswith("#")
+    ]
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if any(nodeid.startswith(p) for p in prefixes):
+            item.add_marker(pytest.mark.smoke)
