@@ -291,6 +291,81 @@ def main():
     except Exception as e:  # pragma: no cover
         log("roofline diagnostic failed:", e)
 
+    # Compute-side roof: achievable bf16 MXU rate on INDEPENDENT 4096^3
+    # matmuls (a 64-matrix pool cycled 4x = 256 matmuls per timed call,
+    # so the ~180 ms signal dwarfs the +-5 ms tunnel-floor jitter; the
+    # |y|-sum consumer defeats XLA's sum(A@B) factorization and DCE).
+    # Probe forensics (r4): a CHAINED carry-dependent formulation
+    # measures ~29 TFLOP/s — each matmul must drain to HBM before the
+    # next starts, a real pipeline cost but not the roof — and earlier
+    # small-signal probes (the "40 TFLOP/s" of r2/r3 notes) were
+    # floor-noise artifacts. This probe is the denominator for every MFU
+    # fraction reported below.
+    compute_roof_tflops = None
+    try:
+        NMM, POOL, CYCLES = 4096, 64, 4
+        MM_REPS = POOL * CYCLES
+
+        @jax.jit
+        def _tiny3(x):
+            return jnp.sum(x)
+
+        t_floor_mm = timeit(_tiny3, jnp.arange(8.0), iters=5)
+        ka, kb = jax.random.split(jax.random.key(21))
+        b_mm = (0.02 * jax.random.normal(kb, (NMM, NMM))).astype(jnp.bfloat16)
+        xs_mm = (0.02 * jax.random.normal(ka, (POOL, NMM, NMM))).astype(
+            jnp.bfloat16
+        )
+
+        @jax.jit
+        def mm_indep(xs, b):
+            def cycle(c, s):
+                def body(c2, x):
+                    y = jax.lax.dot_general(
+                        x * s, b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return c2 + jnp.sum(jnp.abs(y)), None
+
+                return jax.lax.scan(body, c, xs)[0], None
+
+            scales = 1.0 + 0.001 * jnp.arange(CYCLES, dtype=jnp.bfloat16)
+            return jax.lax.scan(cycle, jnp.float32(0), scales)[0]
+
+        t_mm = max(
+            timeit(mm_indep, xs_mm, b_mm, iters=3) - t_floor_mm, 1e-9
+        ) / MM_REPS
+        compute_roof_tflops = 2 * NMM**3 / t_mm / 1e12
+        log(
+            f"bf16 matmul probe ({NMM}^3 x{MM_REPS} independent): "
+            f"{t_mm*1e3:.3f} ms/matmul = {compute_roof_tflops:.1f} TFLOP/s "
+            f"(measured MXU roof)"
+        )
+        del xs_mm  # free the 2.1 GB pool before the workload sections
+
+        @jax.jit
+        def mm_chain(a, b):
+            def body(c, _):
+                c = jax.lax.dot_general(
+                    c, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.bfloat16,
+                )
+                return c, None
+
+            return jax.lax.scan(body, a, None, length=MM_REPS)[0]
+
+        a_mm = (0.02 * jax.random.normal(ka, (NMM, NMM))).astype(jnp.bfloat16)
+        t_ch = max(
+            timeit(mm_chain, a_mm, b_mm, iters=3) - t_floor_mm, 1e-9
+        ) / MM_REPS
+        log(
+            f"bf16 matmul chain (carry-dependent): {t_ch*1e3:.3f} ms/matmul "
+            f"= {2 * NMM**3 / t_ch / 1e12:.1f} TFLOP/s (pipeline-stalled — "
+            f"sequential-dependence diagnostic, not the roof)"
+        )
+    except Exception as e:  # pragma: no cover
+        log("matmul probe failed:", e)
+
     # Secondary diagnostics (stderr only).
     try:
         from genjax_tpu.models.ssm import run_bootstrap_filter, simulate_ssm_data
@@ -531,36 +606,166 @@ def main():
     except Exception as e:  # pragma: no cover
         log("HMC diagnostic failed:", e)
 
-    # SVGD: the N x N Stein interaction is three MXU matmuls per step.
+    # NUTS vs HMC: the fixed-schedule NUTS draw costs 2**max_depth - 1
+    # gradient evals; this quantifies that padding trade against HMC's
+    # L+1 on the same target (VERDICT r3 item 5).
+    try:
+        from genjax_tpu.models.logreg import run_nuts_chains
+
+        C_n, S_n = 8192, 10
+        for md, reps_n in ((6, 10), (8, 3)):
+
+            @jax.jit
+            def nuts_batch(keys, md=md):
+                return jax.lax.scan(
+                    lambda c, k: (
+                        c,
+                        jnp.mean(
+                            run_nuts_chains(
+                                k, X, yo, n_chains=C_n, n_steps=S_n,
+                                eps=0.02, max_depth=md,
+                            )[0]
+                        ),
+                    ),
+                    None,
+                    keys,
+                )[1]
+
+            nk = jax.random.split(jax.random.key(15 + md), reps_n)
+            t_nuts = (
+                max(timeit(nuts_batch, nk, iters=3) - t_floor, 1e-9) / reps_n
+            )
+            grads_per_draw = 2**md - 1
+            steps_s = C_n * S_n / t_nuts
+            log(
+                f"NUTS {C_n} chains x {S_n} draws (max_depth={md}, "
+                f"{grads_per_draw} grad evals/draw): {t_nuts*1e3:.2f} ms = "
+                f"{steps_s/1e6:.2f}M chain-steps/s, "
+                f"{steps_s*grads_per_draw/1e9:.2f}B grad-evals/s"
+            )
+    except Exception as e:  # pragma: no cover
+        log("NUTS diagnostic failed:", e)
+
+    # SVGD: the N x N Stein interaction — one fused kernel contraction
+    # per step. Reported with an MFU fraction against the measured bf16
+    # matmul roof AND a bandwidth-side traffic model, so whichever roof
+    # binds is explicit (VERDICT r3 item 1).
+    svgd_tflops = svgd_fraction = None
+    svgd_d128_tflops = svgd_d128_fraction = None
     try:
         from genjax_tpu.inference.svgd import svgd
         from genjax_tpu.models.logreg import logistic_regression, simulate_logreg_data
 
         import genjax_tpu as gxx
 
-        N_sv, D_sv, S_sv = 4096, 16, 100
-        Xs, ysv, _ = simulate_logreg_data(jax.random.key(5), 256, D_sv)
+        # 2000 in-jit steps: at ~0.03 ms/step the older S=100 gave a
+        # ~3 ms signal against a ±3-5 ms tunnel-floor jitter — the same
+        # small-signal trap the matmul probe fell into.
+        N_sv, D_sv, S_sv, ND_sv = 4096, 16, 2000, 256
+        Xs, ysv, _ = simulate_logreg_data(jax.random.key(5), ND_sv, D_sv)
+
+        def make_svgd(kd):
+            @jax.jit
+            def svgd_run(key):
+                trs, phi = svgd(
+                    key,
+                    logistic_regression,
+                    (Xs,),
+                    gxx.ChoiceMap.kw(ys=ysv),
+                    gxx.Selection.at["w"],
+                    n_particles=N_sv,
+                    n_steps=S_sv,
+                    step_size=0.05,
+                    kernel_dtype=kd,
+                )
+                return jnp.mean(trs.get_choices()["w"]), phi[-1]
+
+            return svgd_run
+
+        # Matmul FLOPs per step: the d2 builder (2 N^2 D), the fused
+        # [grads | x | 1] contraction (2 N^2 (2D+1)), and the vmapped
+        # density grads (~3 passes of the (N, D) x (D, ND) matmul).
+        flops_step = (
+            2 * N_sv**2 * D_sv
+            + 2 * N_sv**2 * (2 * D_sv + 1)
+            + 3 * 2 * N_sv * D_sv * ND_sv
+        )
+        results = {}
+        for kd_name, kd in (("f32", None), ("bf16", jnp.bfloat16)):
+            t_sv = max(
+                timeit(make_svgd(kd), jax.random.key(6), iters=3) - t_floor,
+                1e-9,
+            )
+            per_step = t_sv / S_sv
+            results[kd_name] = per_step
+            tfl = flops_step / per_step / 1e12
+            frac = (
+                tfl / compute_roof_tflops if compute_roof_tflops else float("nan")
+            )
+            # UNFUSED traffic ceiling: 4 n^2 HBM passes at the kernel
+            # dtype (distance-dot output written + read by exp, K
+            # written + read by the contraction). Measuring BELOW this
+            # bound means XLA fused the kernel matrix through VMEM
+            # (dot -> exp -> dot), which it does at these shapes —
+            # the profiled fused Stein update is ~0.05 ms/step.
+            k_bytes = 2 if kd is not None else 4
+            traffic = N_sv * N_sv * 4 * k_bytes
+            t_bw_pred = traffic / (748e9)
+            log(
+                f"SVGD[{kd_name}] {N_sv} x {S_sv} steps (logreg N={ND_sv}, "
+                f"D={D_sv}): {per_step*1e3:.3f} ms/step = "
+                f"{N_sv/per_step/1e6:.1f}M particle-updates/s; "
+                f"{tfl:.1f} TFLOP/s = {frac*100:.0f}% of matmul roof; "
+                f"unfused traffic ceiling {t_bw_pred*1e3:.3f} ms/step "
+                f"(measuring below it = the VMEM kernel fusion landed)"
+            )
+            if kd_name == "bf16":
+                svgd_tflops = round(tfl, 2)
+                svgd_fraction = round(frac, 4) if frac == frac else None
+
+        # Lane-filling variant: at D=16 the MXU pads the kernel-matrix
+        # contraction 8x (16 -> 128 lanes) and the fused-output columns
+        # 4x (33 -> 128), so the D=16 MFU ceiling is structurally ~1/6 of
+        # the roof before bandwidth even enters. D=128 fills the lanes —
+        # this line demonstrates the same code path's MFU when the model
+        # dimension matches the hardware granularity.
+        D_big = 128
+        Xb, yb, _ = simulate_logreg_data(jax.random.key(7), ND_sv, D_big)
 
         @jax.jit
-        def svgd_run(key):
+        def svgd_big(key):
             trs, phi = svgd(
                 key,
                 logistic_regression,
-                (Xs,),
-                gxx.ChoiceMap.kw(ys=ysv),
+                (Xb,),
+                gxx.ChoiceMap.kw(ys=yb),
                 gxx.Selection.at["w"],
                 n_particles=N_sv,
                 n_steps=S_sv,
                 step_size=0.05,
+                kernel_dtype=jnp.bfloat16,
             )
             return jnp.mean(trs.get_choices()["w"]), phi[-1]
 
-        t_sv = max(timeit(svgd_run, jax.random.key(6), iters=3) - t_floor, 1e-9)
-        per_step = t_sv / S_sv
-        upd_per_s = N_sv / per_step
+        t_big = max(timeit(svgd_big, jax.random.key(8), iters=3) - t_floor, 1e-9)
+        per_big = t_big / S_sv
+        flops_big = (
+            2 * N_sv**2 * D_big
+            + 2 * N_sv**2 * (2 * D_big + 1)
+            + 3 * 2 * N_sv * D_big * ND_sv
+        )
+        tfl_big = flops_big / per_big / 1e12
+        frac_big = (
+            tfl_big / compute_roof_tflops if compute_roof_tflops else float("nan")
+        )
         log(
-            f"SVGD {N_sv} particles x {S_sv} steps (logreg N=256, D={D_sv}): "
-            f"{per_step*1e3:.3f} ms/step = {upd_per_s/1e6:.1f}M particle-updates/s"
+            f"SVGD[bf16] {N_sv} x {S_sv} steps (logreg N={ND_sv}, D={D_big}, "
+            f"lane-filling): {per_big*1e3:.3f} ms/step = {tfl_big:.1f} TFLOP/s "
+            f"= {frac_big*100:.0f}% of matmul roof"
+        )
+        svgd_d128_tflops = round(tfl_big, 1)
+        svgd_d128_fraction = (
+            round(frac_big, 4) if frac_big == frac_big else None
         )
     except Exception as e:  # pragma: no cover
         log("SVGD diagnostic failed:", e)
@@ -576,6 +781,16 @@ def main():
     if gfi_overhead is not None:
         out["gfi_overhead"] = round(gfi_overhead, 4)
         out["sampler_speedup"] = round(sampler_speedup, 4)
+    if compute_roof_tflops is not None:
+        out["compute_roof_tflops"] = round(compute_roof_tflops, 2)
+    if svgd_tflops is not None:
+        out["svgd_tflops"] = svgd_tflops
+        if svgd_fraction is not None:
+            out["svgd_fraction"] = svgd_fraction
+    if svgd_d128_tflops is not None:
+        out["svgd_d128_tflops"] = svgd_d128_tflops
+        if svgd_d128_fraction is not None:
+            out["svgd_d128_fraction"] = svgd_d128_fraction
     print(json.dumps(out))
 
 

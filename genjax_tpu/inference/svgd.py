@@ -36,10 +36,13 @@ from genjax_tpu.inference.requests.hmc import grad_tree_unzip, grad_tree_zip
 
 # Particle-count cap for the median-heuristic estimate: a full-matrix
 # median is a sort of n^2 elements EVERY step (43 ms/step at n=4096 on
-# v5e — 1000x the cost of the kernel matmuls it feeds). The median over
-# a 512x512 block of exchangeable particles estimates the same scalar
-# to well under the heuristic's own slack.
-_MEDIAN_SAMPLE = 512
+# v5e — 1000x the cost of the kernel matmuls it feeds), and even a
+# 512x512 block costs 0.31 ms/step on the v5e — 6x the ENTIRE fused
+# Stein update (0.05 ms: XLA keeps the kernel matrix in VMEM through
+# the dot -> exp -> dot chain). A 128x128 block is 16k exchangeable
+# d^2 samples — the median's sampling error is far inside the
+# heuristic's own slack — and its sort is ~0.02 ms.
+_MEDIAN_SAMPLE = 128
 
 
 def rbf_kernel(x: jax.Array, bandwidth: float | None = None):
@@ -99,7 +102,21 @@ def stein_phi_block(
     d = x_all.shape[-1]
     x2_rows = jnp.sum(x_rows * x_rows, axis=-1)
     x2_all = jnp.sum(x_all * x_all, axis=-1)
-    d2 = x2_rows[:, None] + x2_all[None, :] - 2.0 * (x_rows @ x_all.T)
+    if kernel_dtype is not None:
+        # Low-precision kernel path: the distance matmul's operands cast
+        # BEFORE the dot (half the dot-output bytes — the n x n f32
+        # intermediate is the single largest traffic term), with f32
+        # accumulation; the exact row norms stay f32, so d2's diagonal
+        # is still ~0 and the relative error is O(bf16 eps) ~ 0.4%.
+        prod = jax.lax.dot_general(
+            x_rows.astype(kernel_dtype),
+            x_all.astype(kernel_dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        prod = x_rows @ x_all.T
+    d2 = x2_rows[:, None] + x2_all[None, :] - 2.0 * prod
     d2 = jnp.maximum(d2, 0.0)
     K = jnp.exp(-d2 / h)
     aug = jnp.concatenate(

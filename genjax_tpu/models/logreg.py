@@ -55,6 +55,24 @@ def run_hmc_chains(
     return finals.get_choices()["w"], accs
 
 
+def run_nuts_chains(
+    key, X, ys, n_chains: int = 8192, n_steps: int = 100,
+    eps: float = 0.05, max_depth: int = 6,
+):
+    """Vectorized NUTS: returns (final w draws, acceptance-stat history).
+
+    Each draw costs exactly `2**max_depth - 1` gradient passes (the
+    fixed-schedule SIMD batching of inference/requests/nuts.py), so the
+    benchmark comparison against HMC quantifies the padding trade."""
+    from genjax_tpu.inference.requests import NUTS
+
+    k_init, k_run = jax.random.split(key)
+    trs = _init_chains(k_init, X, ys, n_chains)
+    request = NUTS(Selection.at["w"], jnp.asarray(eps), max_depth=max_depth)
+    finals, accs = run_chains(k_run, trs, request, n_steps)
+    return finals.get_choices()["w"], accs
+
+
 def run_mala_chains(
     key, X, ys, n_chains: int = 8192, n_steps: int = 100, eps: float = 0.01
 ):
