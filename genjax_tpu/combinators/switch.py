@@ -12,6 +12,7 @@ uncertainty — no dynamic shapes, no host control flow.
 
 from typing import Any, Generic, TypeVar
 
+import jax.numpy as jnp
 
 from genjax_tpu.core.choice_map import Address, ChoiceMap, Selection
 from genjax_tpu.core.concepts import (
@@ -22,7 +23,7 @@ from genjax_tpu.core.concepts import (
     Score,
     Weight,
 )
-from genjax_tpu.core.diff import Diff, NoChange, UnknownChange
+from genjax_tpu.core.diff import Diff, NoChange
 from genjax_tpu.core.gfi import GenerativeFunction, Trace, Update
 from genjax_tpu.core.pytree import Pytree
 from genjax_tpu.core.staging import multi_switch, tree_choose
@@ -158,29 +159,12 @@ class Switch(Generic[R], GenerativeFunction[R]):
                 (key, tr, edit_request, ad)
                 for tr, ad in zip(trace.subtraces, branch_argdiffs)
             ]
-        else:
-            fs = [self._edit_fresh_trace(f) for f in self.branches]
-            f_args = [(key, edit_request, ad) for ad in branch_argdiffs]
-
-        rets = multi_switch(new_idx, fs, f_args)
-        subtraces = [t[0] for t in rets]
-        score, weight, retval = tree_choose(
-            new_idx,
-            [(tr.get_score(), w, Diff.tree_primal(rd)) for tr, w, rd, _ in rets],
-        )
-        if Diff.tree_tangent(idx_diff) is UnknownChange:
-            # Index move: the weight is the full joint delta (same
-            # convention as Mask's existence transitions and Regenerate).
-            # The fresh-branch inner edit's weight (edited - fresh) must
-            # be DISCARDED, not added — keeping it double-counts every
-            # constrained site (caught by
-            # tests/combinators/test_combinator_properties.py).
-            weight = score - trace.get_score()
-            # The reverse of an index move re-constrains the old branch's
-            # choices wholesale (applied together with argdiffs restoring
-            # the old index).
-            bwd_request = Update(trace.get_choices())
-        else:
+            rets = multi_switch(new_idx, fs, f_args)
+            subtraces = [t[0] for t in rets]
+            score, weight, retval = tree_choose(
+                new_idx,
+                [(tr.get_score(), w, Diff.tree_primal(rd)) for tr, w, rd, _ in rets],
+            )
             # Same-branch edit: pick the executed branch's backward
             # request. `tree_choose` requires the branch requests to share
             # one tree structure; heterogeneous branches get an explicit
@@ -199,6 +183,74 @@ class Switch(Generic[R], GenerativeFunction[R]):
                     "backward requests; reverse this move by re-simulating "
                     "or constraining the old choices explicitly."
                 )
+            return (
+                SwitchTrace(self, primals, subtraces, retval, score),
+                weight,
+                Diff.unknown_change(retval),
+                bwd_request,
+            )
+
+        # Index tangent unknown: the runtime index may or may not equal the
+        # stored one. Editing as if the branch always changed would
+        # RE-SIMULATE the branch even when `new_idx == old_idx` — an Update
+        # must keep unconstrained values (caught by the structural fuzzer:
+        # mask(mix(...)) flag flips silently resampled the mixture's
+        # component sample). Run both the same-branch edit (valid where
+        # equal) and the fresh path (valid where moved) and select densely.
+        import jax.tree_util as jtu
+
+        from genjax_tpu.core.requests import UnsupportedBackwardRequest
+        from genjax_tpu.core.staging import where_tree
+
+        old_idx = trace.get_idx()
+        moved = jnp.asarray(new_idx != old_idx)
+
+        fs_same = [f.edit for f in self.branches]
+        same_args = [
+            (key, tr, edit_request, ad)
+            for tr, ad in zip(trace.subtraces, branch_argdiffs)
+        ]
+        rets_same = multi_switch(new_idx, fs_same, same_args)
+        fs_fresh = [self._edit_fresh_trace(f) for f in self.branches]
+        fresh_args = [(key, edit_request, ad) for ad in branch_argdiffs]
+        rets_fresh = multi_switch(new_idx, fs_fresh, fresh_args)
+
+        subtraces = [
+            where_tree(moved, f[0], s[0]) for s, f in zip(rets_same, rets_fresh)
+        ]
+        score, retval = tree_choose(
+            new_idx, [(tr.get_score(), tr.get_retval()) for tr in subtraces]
+        )
+        w_same = tree_choose(new_idx, [t[1] for t in rets_same])
+        # Where the branch moved, the weight is the full joint delta (same
+        # convention as Mask's existence transitions and Regenerate); the
+        # fresh inner edit's weight (edited - fresh) must be DISCARDED, not
+        # added — keeping it double-counts every constrained site (caught
+        # by tests/combinators/test_combinator_properties.py). Where the
+        # index is runtime-equal, the same-branch incremental weight holds.
+        weight = jnp.where(moved, score - trace.get_score(), w_same)
+
+        # Backward: where moved, re-constrain the old branch's choices
+        # wholesale; where equal, the same-branch discard. Both are
+        # Updates, merged under a runtime two-way ChoiceMap switch.
+        bwds_same = [t[3] for t in rets_same]
+        structures = {jtu.tree_structure(b) for b in bwds_same}
+        if len(structures) == 1 and all(isinstance(b, Update) for b in bwds_same):
+            same_constraint = tree_choose(
+                new_idx, [b.constraint for b in bwds_same]
+            )
+            bwd_request = Update(
+                ChoiceMap.switch(
+                    jnp.asarray(moved, dtype=jnp.int32),
+                    [same_constraint, trace.get_choices()],
+                )
+            )
+        else:
+            # Heterogeneous branch discards (or a Regenerate forward):
+            # re-constrain the old choices wholesale — a valid reverse for
+            # both the moved and runtime-equal cases, just coarser than
+            # the minimal discard.
+            bwd_request = Update(trace.get_choices())
         return (
             SwitchTrace(self, primals, subtraces, retval, score),
             weight,

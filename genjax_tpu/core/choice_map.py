@@ -906,10 +906,24 @@ class Switch(ChoiceMap):
         if isinstance(idx, int):
             # Statically-known branch: no masking machinery needed.
             return branches[idx]
-        return Switch(idx, [b.mask(idx == i) for i, b in enumerate(branches)])
+        return Switch._rebuild(idx, [b.mask(idx == i) for i, b in enumerate(branches)])
+
+    @staticmethod
+    def _rebuild(idx, branches: list[ChoiceMap]) -> ChoiceMap:
+        # Collapse the husk: a Switch whose every branch is statically
+        # empty holds no choices, and leaving it in place makes filtered
+        # constraints read as non-empty downstream (edit handlers would
+        # treat `Switch(idx, [{}, {}])` as a real constraint — caught by
+        # the structural fuzzer on mask(mix(...)) flag flips).
+        if all(b.static_is_empty() for b in branches):
+            return ChoiceMap.empty()
+        return Switch(idx, branches)
 
     def filter(self, selection: Selection | Flag) -> ChoiceMap:
-        return Switch(self.idx, [b.filter(selection) for b in self.chms])
+        return Switch._rebuild(self.idx, [b.filter(selection) for b in self.chms])
+
+    def static_is_empty(self) -> bool:
+        return all(b.static_is_empty() for b in self.chms)
 
     def get_value(self) -> Any:
         live = [
@@ -920,7 +934,7 @@ class Switch(ChoiceMap):
         return Mask.or_n(*live) if live else None
 
     def get_inner_map(self, addr: AddressComponent) -> ChoiceMap:
-        return Switch(self.idx, [b.get_inner_map(addr) for b in self.chms])
+        return Switch._rebuild(self.idx, [b.get_inner_map(addr) for b in self.chms])
 
 
 @Pytree.dataclass(match_args=True)

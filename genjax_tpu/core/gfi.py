@@ -121,6 +121,13 @@ class GenerativeFunction(Generic[R], Pytree):
     """The type of generative functions: probabilistic programs exposing
     `simulate`, `assess`, `generate`, `project`, and `edit` (the GFI).
 
+    `retval_is_value` is a static dataflow promise consumed by the
+    incremental-edit analysis (`lang/analysis.py`): True means the return
+    value IS the (single) sampled value, so it cannot change unless the
+    site itself is edited. Distributions set it; composite generative
+    functions (whose retval may deterministically read their arguments)
+    must leave it False.
+
     Example — the full interface on a two-site model:
 
     >>> import jax, jax.numpy as jnp
@@ -138,6 +145,10 @@ class GenerativeFunction(Generic[R], Pytree):
     >>> bool(jnp.isfinite(w))
     True
     """
+
+    # Not a dataclass field (unannotated on purpose): a static class-level
+    # promise, never traced state.
+    retval_is_value = False
 
     def __call__(self, *args, **kwargs) -> "GenerativeFunctionClosure[R]":
         return GenerativeFunctionClosure(self, args, kwargs)

@@ -103,6 +103,11 @@ class Distribution(Generic[R], GenerativeFunction[R]):
     """Generative functions over a single (unaddressed) choice, specified by
     the stochastic probability interface."""
 
+    # The retval IS the sampled value: an un-edited distribution site's
+    # output cannot change, even when its arguments do (see
+    # `lang/analysis.py` taint rules).
+    retval_is_value = True
+
     def random_weighted(self, key: PRNGKey, *args) -> tuple[Score, R]:
         """Sample a value and return (score-estimate, value)."""
         raise NotImplementedError

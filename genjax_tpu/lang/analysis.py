@@ -54,9 +54,15 @@ class _StageHandler(TraceHandler):
         def _site(_addr_const, gen_fn, args):
             return gen_fn.__abstract_call__(*args)
 
-        return initial_style_bind(site_p, addr=_freeze_addr(addr))(_site)(
-            Const(addr), gen_fn, args
-        )
+        return initial_style_bind(
+            site_p,
+            addr=_freeze_addr(addr),
+            # Distributions promise retval == sampled value (kept unless
+            # the site itself is edited); composite callees' retvals may
+            # deterministically read their arguments, so change flows
+            # through them (see the taint rules in `_analyze`).
+            opaque_retval=bool(getattr(gen_fn, "retval_is_value", False)),
+        )(_site)(Const(addr), gen_fn, args)
 
 
 def _freeze_addr(addr):
@@ -72,6 +78,7 @@ class SiteGraph:
     args_reach: frozenset             # addrs whose args read the model arguments
     retval_deps: frozenset            # addrs whose values reach the return value
     retval_reads_args: bool           # model args reach the return value
+    site_args: dict                   # addr -> (in_tree, ((taint, reads_args), ...) per leaf)
 
     def weight_set(self, value_changed: frozenset, args_changed: bool) -> frozenset:
         """Addresses whose density must be recomputed for this edit."""
@@ -89,6 +96,39 @@ class SiteGraph:
         if args_changed and self.retval_reads_args:
             return False
         return not (self.retval_deps & value_changed)
+
+    def site_edit_info(self, addr, value_changed: frozenset, args_changed: bool):
+        """`(argdiff_mask, callee_changed)` for an edited site.
+
+        `argdiff_mask` is a per-leaf changed/unchanged pytree over the
+        site's argument structure, or None when leaf-level precision is
+        unavailable. `callee_changed` is True when the callee's OWN
+        pytree leaves (closure captures) are tainted by this edit — a
+        change argdiffs cannot express, so the site needs a dense
+        recompute under the freshly-built callee. Analysis failures
+        (missing info, structure drift) report (None, True): dense is
+        always correct."""
+        info = self.site_args.get(addr)
+        if info is None:
+            return None, True
+        in_tree, leaf_info = info
+        changed = [
+            bool(taint & value_changed) or (args_changed and reads_args)
+            for taint, reads_args in leaf_info
+        ]
+        try:
+            _addr_part, genfn_part, args_part = jtu.tree_unflatten(in_tree, changed)
+        except Exception:
+            return None, True
+        if any(bool(leaf) for leaf in jtu.tree_leaves(genfn_part)):
+            return None, True
+        return args_part, False
+
+    def argdiff_mask(self, addr, value_changed: frozenset, args_changed: bool):
+        """Per-leaf changed/unchanged mask over `addr`'s argument pytree,
+        or None when leaf-level precision is unavailable."""
+        mask, _ = self.site_edit_info(addr, value_changed, args_changed)
+        return mask
 
 
 def _analyze(source, args) -> SiteGraph:
@@ -121,6 +161,7 @@ def _analyze(source, args) -> SiteGraph:
 
     deps: dict = {}
     args_reach = set()
+    site_args: dict = {}
 
     for eqn in jaxpr.eqns:
         in_taints = [var_taint(v) for v in eqn.invars]
@@ -134,14 +175,28 @@ def _analyze(source, args) -> SiteGraph:
                 deps[addr] = merged
                 if reads_args:
                     args_reach.add(addr)
-            # The site's OUTPUT carries taint {addr} only: un-edited sites
-            # retain their sampled values even when their arguments change
-            # (Update/Regenerate semantics), so neither argument taint nor
-            # upstream value taint flows *through* a site — a site's
-            # output changes iff the site itself is edited.
+                num_consts = eqn.params["num_consts"]
+                site_args[addr] = (
+                    eqn.params["in_tree"],
+                    tuple(in_taints[num_consts:]),
+                )
+            # An un-edited DISTRIBUTION site's output (its sampled value)
+            # is retained even when its arguments change (Update /
+            # Regenerate semantics), so no taint flows through it: its
+            # output changes iff the site itself is edited. A COMPOSITE
+            # site's retval may additionally be a deterministic function
+            # of its arguments (`return x + b`), so argument taint and
+            # the args flag DO flow through — otherwise a downstream site
+            # reading that retval would be wrongly reused when the model
+            # arguments change (stale-score bug, tests/lang/
+            # test_incremental_edit.py::test_composite_retval_propagates).
+            if eqn.params["opaque_retval"]:
+                out_taint, out_args = frozenset([addr]), False
+            else:
+                out_taint, out_args = merged | frozenset([addr]), reads_args
             for var in eqn.outvars:
-                taint[id(var)] = frozenset([addr])
-                args_taint[id(var)] = False
+                taint[id(var)] = out_taint
+                args_taint[id(var)] = out_args
         else:
             for var in eqn.outvars:
                 taint[id(var)] = merged
@@ -160,6 +215,7 @@ def _analyze(source, args) -> SiteGraph:
         args_reach=frozenset(args_reach),
         retval_deps=ret_taint,
         retval_reads_args=ret_args,
+        site_args=site_args,
     )
 
 

@@ -203,35 +203,52 @@ class UpdateHandler(StaticLangHandler):
         key: PRNGKey,
         previous_trace: StaticTrace,
         constraint: ChoiceMap,
-        reuse: frozenset = frozenset(),
-        args_unchanged: frozenset = frozenset(),
+        plan: "_EditPlan",
     ):
         super().__init__(key)
         self.previous_trace = previous_trace
         self.constraint = constraint
         self.weight = jnp.zeros(())
         self.bwd_constraints: list[ChoiceMap] = []
-        self.reuse = reuse
-        self.args_unchanged = args_unchanged
+        self.plan = plan
 
     def handle_trace(self, addr, gen_fn, args):
         subtrace = self.previous_trace.get_inner_trace(addr)
-        if addr in self.reuse:
+        if addr in self.plan.reuse:
             # Statically unaffected: keep the subtrace, zero weight. XLA
             # dead-code-eliminates this address's density work entirely.
             self.bwd_constraints.append(ChoiceMap.empty())
             self.record(addr, subtrace)
             return subtrace.get_retval()
-        # Statically-proven-unchanged arguments propagate NoChange into the
-        # callee, so nested @gen callees recurse the O(affected) plan.
-        argdiffs = (
-            Diff.no_change(args)
-            if addr in self.args_unchanged
-            else Diff.unknown_change(args)
-        )
+        # Statically-proven-unchanged argument leaves propagate NoChange
+        # into the callee, so nested @gen callees recurse the O(affected)
+        # plan (and combinators keep their cheap same-structure paths).
         sub_constraint = self.constraint(addr)
+        if self.plan.needs_dense(addr, gen_fn, subtrace):
+            # The callee's own pytree leaves (closure captures built
+            # inside the source) changed — argdiffs cannot express that,
+            # and the callee's edit would see its captures as jaxpr
+            # constants and believe nothing moved. Densely regenerate
+            # under the NEW callee with the old values (constraint wins
+            # where both speak); values are kept, densities recomputed.
+            old_choices = subtrace.get_choices()
+            tr, _ = gen_fn.generate(
+                self.fresh_key(), sub_constraint | old_choices, args
+            )
+            self.weight += tr.get_score() - subtrace.get_score()
+            self.bwd_constraints.append(
+                old_choices.filter(sub_constraint.get_selection())
+            )
+            self.record(addr, tr)
+            return tr.get_retval()
+        argdiffs = self.plan.site_argdiffs(addr, args)
         request = Update(sub_constraint)
-        tr, w, retdiff, bwd = request.edit(self.fresh_key(), subtrace, argdiffs)
+        # Dispatch through the FRESHLY-constructed callee (not
+        # `subtrace.get_gen_fn()`), which under an analyzed plan is
+        # leaf-identical to the stored one.
+        tr, w, retdiff, bwd = gen_fn.edit(
+            self.fresh_key(), subtrace, request, argdiffs
+        )
         assert isinstance(bwd, Update)
         self.bwd_constraints.append(bwd.constraint)
         self.weight += w
@@ -245,31 +262,39 @@ class RegenerateHandler(StaticLangHandler):
         key: PRNGKey,
         previous_trace: StaticTrace,
         selection: Selection,
-        reuse: frozenset = frozenset(),
-        args_unchanged: frozenset = frozenset(),
+        plan: "_EditPlan",
     ):
         super().__init__(key)
         self.previous_trace = previous_trace
         self.selection = selection
         self.weight = jnp.zeros(())
         self.bwd_requests: list[EditRequest] = []
-        self.reuse = reuse
-        self.args_unchanged = args_unchanged
+        self.plan = plan
 
     def handle_trace(self, addr, gen_fn, args):
         subtrace = self.previous_trace.get_inner_trace(addr)
-        if addr in self.reuse:
+        if addr in self.plan.reuse:
             self.bwd_requests.append(EmptyRequest())
             self.record(addr, subtrace)
             return subtrace.get_retval()
-        argdiffs = (
-            Diff.no_change(args)
-            if addr in self.args_unchanged
-            else Diff.unknown_change(args)
-        )
         subselection = self.selection(addr)
+        if self.plan.needs_dense(addr, gen_fn, subtrace):
+            # Changed closure captures (see UpdateHandler): densely
+            # regenerate under the new callee — unselected values kept
+            # and re-scored, selected ones freshly proposed.
+            kept = subtrace.get_choices().filter(~subselection)
+            tr, _ = gen_fn.generate(self.fresh_key(), kept, args)
+            self.weight += tr.get_score() - subtrace.get_score()
+            self.bwd_requests.append(Regenerate(subselection))
+            self.record(addr, tr)
+            return tr.get_retval()
+        argdiffs = self.plan.site_argdiffs(addr, args)
         request = Regenerate(subselection)
-        tr, w, retdiff, bwd = request.edit(self.fresh_key(), subtrace, argdiffs)
+        # Fresh-callee dispatch for the same closure-capture reason as
+        # UpdateHandler.handle_trace.
+        tr, w, retdiff, bwd = gen_fn.edit(
+            self.fresh_key(), subtrace, request, argdiffs
+        )
         self.bwd_requests.append(bwd)
         self.weight += w
         self.record(addr, tr)
@@ -296,6 +321,88 @@ class StaticRequestHandler(StaticLangHandler):
         return Diff.tree_primal(retdiff)
 
 
+@dataclass(frozen=True)
+class _EditPlan:
+    """Statically-computed reuse/argdiff plan for one edit (see
+    `lang/analysis.py`). `_FALLBACK` (all-empty, unanalyzed) is always
+    correct: it recomputes everything with all-unknown argdiffs and
+    falls back to runtime callee-leaf comparison."""
+
+    reuse: frozenset = frozenset()           # subtraces kept verbatim
+    args_unchanged: frozenset = frozenset()  # edited sites with NoChange args
+    retval_static: bool = False              # model retval statically unchanged
+    # addr -> pytree-of-bools over the site's args: per-LEAF change masks,
+    # so e.g. a Switch receives NoChange on its index argument when only
+    # its data arguments changed (keeping the cheap same-branch edit path).
+    argdiff_masks: dict = None  # type: ignore[assignment]
+    # Sites whose CALLEE pytree leaves (closure captures) are tainted by
+    # this edit — argdiffs cannot express that, so these need a dense
+    # per-site recompute under the freshly-built callee.
+    callee_changed: frozenset = frozenset()
+    analyzed: bool = False
+
+    def site_argdiffs(self, addr, args):
+        if addr in self.args_unchanged:
+            return Diff.no_change(args)
+        mask = (self.argdiff_masks or {}).get(addr)
+        if mask is None:
+            return Diff.unknown_change(args)
+        try:
+            return jax.tree_util.tree_map(
+                lambda leaf, m: (
+                    Diff.unknown_change(leaf) if m else Diff.no_change(leaf)
+                ),
+                args,
+                mask,
+            )
+        except Exception:
+            # Runtime structure drifted from the staged structure: the
+            # per-leaf plan no longer applies; coarse is always correct.
+            return Diff.unknown_change(args)
+
+    def needs_dense(self, addr, gen_fn, subtrace) -> bool:
+        """True when `addr`'s edit must densely recompute under the
+        freshly-built callee because its closure captures (may have)
+        changed. With analysis, this is the precise tainted set; without,
+        a conservative runtime leaf comparison against the stored
+        callee."""
+        if self.analyzed:
+            return addr in self.callee_changed
+        return not _callee_leaves_match(gen_fn, subtrace.get_gen_fn())
+
+
+_FALLBACK_PLAN = _EditPlan()
+
+
+def _callee_leaves_match(new_gf, old_gf) -> bool:
+    """Best-effort proof that two callee pytrees hold identical leaves:
+    same treedef and leafwise object identity or concrete equality.
+    Tracer leaves that are distinct objects cannot be proven equal, so
+    they report False (dense recompute — always correct)."""
+    import numpy as np
+
+    from genjax_tpu.core.typing import static_check_is_concrete
+
+    try:
+        new_leaves, new_td = jax.tree_util.tree_flatten(new_gf)
+        old_leaves, old_td = jax.tree_util.tree_flatten(old_gf)
+    except Exception:
+        return False
+    if new_td != old_td or len(new_leaves) != len(old_leaves):
+        return False
+    for a, b in zip(new_leaves, old_leaves):
+        if a is b:
+            continue
+        if (
+            static_check_is_concrete(a)
+            and static_check_is_concrete(b)
+            and np.array_equal(a, b)
+        ):
+            continue
+        return False
+    return True
+
+
 def _static_edit_plan(
     source,
     primals,
@@ -303,11 +410,12 @@ def _static_edit_plan(
     constraint: ChoiceMap | None = None,
     selection: Selection | None = None,
     args_changed: bool = True,
-) -> tuple[frozenset, frozenset, bool]:
+) -> _EditPlan:
     """Compute the set of addresses whose subtraces can be reused verbatim
-    for this edit, plus whether the return value is statically unchanged
-    (see `lang/analysis.py`). Falls back to no-reuse on any analysis
-    failure — reuse is an optimization, never required for correctness."""
+    for this edit, per-site argdiff precision, and whether the return
+    value is statically unchanged (see `lang/analysis.py`). Falls back to
+    no-reuse on any analysis failure — reuse is an optimization, never
+    required for correctness."""
     from genjax_tpu.lang.analysis import (
         site_graph,
         static_selected_addresses,
@@ -321,11 +429,11 @@ def _static_edit_plan(
         else:
             touched = static_selected_addresses(selection, graph.order)
         if touched is None:
-            return frozenset(), frozenset(), False
+            return _FALLBACK_PLAN
         # Only trust the plan if the analysis saw exactly the addresses
         # the trace recorded (guards against dynamic structure).
         if set(graph.order) != set(trace.subtraces.keys()):
-            return frozenset(), frozenset(), False
+            return _FALLBACK_PLAN
         w_set = graph.weight_set(touched, args_changed)
         reuse = frozenset(graph.order) - w_set
         # Addresses edited only because the request targets them directly
@@ -337,9 +445,24 @@ def _static_edit_plan(
             if not (graph.deps[addr] & touched)
             and not (args_changed and addr in graph.args_reach)
         )
-        return reuse, args_unchanged, graph.retval_unchanged(touched, args_changed)
+        argdiff_masks = {}
+        callee_changed = set()
+        for addr in w_set - args_unchanged:
+            mask, cc = graph.site_edit_info(addr, touched, args_changed)
+            if cc:
+                callee_changed.add(addr)
+            elif mask is not None:
+                argdiff_masks[addr] = mask
+        return _EditPlan(
+            reuse=reuse,
+            args_unchanged=args_unchanged,
+            retval_static=graph.retval_unchanged(touched, args_changed),
+            argdiff_masks=argdiff_masks,
+            callee_changed=frozenset(callee_changed),
+            analyzed=True,
+        )
     except Exception:
-        return frozenset(), frozenset(), False
+        return _FALLBACK_PLAN
 
 
 def _canon_scalar(l):
@@ -489,12 +612,10 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
             )
         primals = Diff.tree_primal(argdiffs)
         args_changed = not Diff.static_check_no_change(argdiffs)
-        reuse, args_unchanged, retval_static = _static_edit_plan(
+        plan = _static_edit_plan(
             self.source, primals, trace, constraint=constraint, args_changed=args_changed
         )
-        handler = UpdateHandler(
-            key, trace, constraint, reuse=reuse, args_unchanged=args_unchanged
-        )
+        handler = UpdateHandler(key, trace, constraint, plan)
         with handler_context(handler):
             retval = self.source(*primals)
         new_trace = StaticTrace(self, primals, retval, handler.subtraces)
@@ -502,7 +623,9 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
             zip(handler.subtraces.keys(), handler.bwd_constraints)
         )
         retdiff = (
-            Diff.no_change(retval) if retval_static else Diff.unknown_change(retval)
+            Diff.no_change(retval)
+            if plan.retval_static
+            else Diff.unknown_change(retval)
         )
         return (new_trace, handler.weight, retdiff, Update(bwd_chm))
 
@@ -524,12 +647,10 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
             )
         primals = Diff.tree_primal(argdiffs)
         args_changed = not Diff.static_check_no_change(argdiffs)
-        reuse, args_unchanged, retval_static = _static_edit_plan(
+        plan = _static_edit_plan(
             self.source, primals, trace, selection=selection, args_changed=args_changed
         )
-        handler = RegenerateHandler(
-            key, trace, selection, reuse=reuse, args_unchanged=args_unchanged
-        )
+        handler = RegenerateHandler(key, trace, selection, plan)
         with handler_context(handler):
             retval = self.source(*primals)
         new_trace = StaticTrace(self, primals, retval, handler.subtraces)
@@ -537,7 +658,9 @@ class StaticGenerativeFunction(Generic[R], GenerativeFunction[R]):
             dict(zip(handler.subtraces.keys(), handler.bwd_requests))
         )
         retdiff = (
-            Diff.no_change(retval) if retval_static else Diff.unknown_change(retval)
+            Diff.no_change(retval)
+            if plan.retval_static
+            else Diff.unknown_change(retval)
         )
         return (new_trace, handler.weight, retdiff, bwd_request)
 

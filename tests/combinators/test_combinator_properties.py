@@ -260,3 +260,65 @@ class TestComposedIdentities:
             Diff.no_change((x,)),
         )
         assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-4)
+
+
+class TestSwitchRuntimeIndexDiff:
+    """With an UnknownChange index tangent, the runtime index may still be
+    EQUAL to the stored one — an Update must then keep unconstrained
+    values (same-branch edit), resampling only where the index really
+    moved (round-4 fix; previously the fresh path ran unconditionally)."""
+
+    def _sw(self):
+        @g.gen
+        def br0(x):
+            return g.normal(x, 1.0) @ "v"
+
+        @g.gen
+        def br1(x):
+            return g.gamma(2.0, 1.0 + x * x) @ "v"
+
+        return g.switch(br0, br1)
+
+    def test_unknown_but_equal_idx_keeps_values(self):
+        sw = self._sw()
+        ks = jax.random.split(jax.random.key(0), 2)
+        args = (jnp.int32(0), (jnp.float32(0.3),), (jnp.float32(0.3),))
+        tr = sw.simulate(ks[0], args)
+        ad = (
+            Diff.unknown_change(jnp.int32(0)),
+            (Diff.no_change(jnp.float32(0.3)),),
+            (Diff.no_change(jnp.float32(0.3)),),
+        )
+        new_tr, w, _, bwd = sw.edit(ks[1], tr, Update(ChoiceMap.empty()), ad)
+        assert jnp.allclose(
+            new_tr.get_choices()("v").get_value().value,
+            tr.get_choices()("v").get_value().value,
+        )
+        assert jnp.allclose(w, 0.0, atol=1e-6)
+        assert jnp.allclose(new_tr.get_score(), tr.get_score(), atol=1e-6)
+
+    def test_unknown_moved_idx_round_trip(self):
+        sw = self._sw()
+        ks = jax.random.split(jax.random.key(1), 3)
+        args = (jnp.int32(0), (jnp.float32(0.3),), (jnp.float32(0.3),))
+        tr = sw.simulate(ks[0], args)
+        new_args = (jnp.int32(1), (jnp.float32(0.3),), (jnp.float32(0.3),))
+        ad = (
+            Diff.unknown_change(jnp.int32(1)),
+            (Diff.no_change(jnp.float32(0.3)),),
+            (Diff.no_change(jnp.float32(0.3)),),
+        )
+        new_tr, w, _, bwd = sw.edit(ks[1], tr, Update(ChoiceMap.empty()), ad)
+        # index move: weight is the full joint delta
+        assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-5)
+        # applying the backward (with the index restored) recovers the
+        # original score exactly
+        back_ad = (
+            Diff.unknown_change(jnp.int32(0)),
+            (Diff.no_change(jnp.float32(0.3)),),
+            (Diff.no_change(jnp.float32(0.3)),),
+        )
+        assert isinstance(bwd, Update)
+        back, w_back, _, _ = sw.edit(ks[2], new_tr, bwd, back_ad)
+        assert jnp.allclose(back.get_score(), tr.get_score(), atol=1e-5)
+        assert jnp.allclose(w + w_back, 0.0, atol=1e-5)

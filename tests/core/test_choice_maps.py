@@ -250,3 +250,39 @@ class TestSubtreeSelection:
         assert "z" not in kept
         dropped = chm.filter(~S["f"])
         assert "z" in dropped and ("f", "x") not in dropped
+
+
+class TestSwitchHuskCollapse:
+    """A Switch node whose every branch is statically empty holds no
+    choices; filter/get_inner_map must collapse it, or downstream edit
+    handlers treat the husk as a real constraint (round-4 fix, caught by
+    the structural fuzzer on mask(mix(...)) flag flips)."""
+
+    def test_static_is_empty_recurses(self):
+        from genjax_tpu.core.choice_map import Switch
+
+        husk = Switch(jnp.int32(0), [ChoiceMap.empty(), ChoiceMap.empty()])
+        assert husk.static_is_empty()
+
+    def test_filter_collapses_to_empty(self):
+        chm = ChoiceMap.switch(
+            jnp.int32(0),
+            [C["v"].set(1.0), C["u"].set(2.0)],
+        )
+        kept = chm.filter(Selection.at["other"])
+        assert kept.static_is_empty()
+
+    def test_filter_under_static_prunes_entry(self):
+        chm = C["mk"].set(
+            ChoiceMap.switch(jnp.int32(0), [C["v"].set(1.0), C["u"].set(2.0)])
+        ) | C["on"].set(True)
+        kept = chm.filter(Selection.at["on"])
+        # the 'mk' husk is pruned entirely
+        assert set(kept.children.keys()) == {"on"}
+
+    def test_nonempty_branch_not_collapsed(self):
+        chm = ChoiceMap.switch(
+            jnp.int32(0), [C["v"].set(1.0), ChoiceMap.empty()]
+        )
+        assert not chm.static_is_empty()
+        assert chm("v").get_value() is not None

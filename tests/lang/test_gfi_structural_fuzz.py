@@ -31,11 +31,17 @@ Two generators feed the same contract battery:
   pairwise nesting (including the reference's known-broken
   switch-under-scan case, `_src/.../switch.py:295`) is covered every
   run, deterministically;
-- a Hypothesis strategy over random depth-<=3 specs (~160 examples
-  across the three test methods), which reaches the triple nestings
-  (e.g. mask(switch(scan(...)))) and random constraint patterns.
+- a Hypothesis strategy over random depth-<=2 specs (130 derandomized
+  examples) with random constraint subsets;
+- two FIXED depth-3 structures (switch-in-scan-in-repeat,
+  scan-in-switch-in-mask) at small example counts — depth-3 eager
+  tracing costs 12-20 s per full battery, so random depth-3 sweeps are
+  not affordable per-commit.
 
-That totals >200 distinct random/exhaustive structures per CI run.
+That totals >200 distinct random/exhaustive structures per CI run; the
+randomized sweeps rotate the expensive edit identities per example
+(see `check_contract`) so the whole module stays inside a ~5-minute
+suite slot.
 Reference: the GFI laws are the reference's own conformance suite
 (`tests/core/...` asserts the same identities per-combinator); here
 they are asserted over the COMPOSITION of combinators.
@@ -230,13 +236,23 @@ def _close(a, b, what, spec):
     )
 
 
-def check_contract(spec, seed: int, x: float, bits: int):
+def check_contract(spec, seed: int, x: float, bits: int, which=None):
+    """Assert the GFI contract on the structure `spec`.
+
+    `which=None` runs the full battery. Because eager tracing through a
+    deep combinator nest costs seconds per GFI call, the randomized
+    sweeps ROTATE the expensive edit identities instead
+    (`which = seed % 3`): every example checks simulate/assess agreement
+    and project partitioning, plus one of {generate telescoping,
+    update + discard round trip, regenerate weight} — across hundreds of
+    examples each identity still sees every structural family.
+    """
     gf, addrs = build(spec)
     args = (jnp.float32(x),)
     k = jax.random.key(seed)
     ks = jax.random.split(k, 8)
 
-    # (1) simulate/assess agree.
+    # (1) simulate/assess agree — always.
     tr = gf.simulate(ks[0], args)
     score, retval = gf.assess(tr.get_choices(), args)
     _close(score, tr.get_score(), "assess score", spec)
@@ -244,42 +260,54 @@ def check_contract(spec, seed: int, x: float, bits: int):
 
     sel = _subset_selection(addrs, bits)
 
-    # (5) project partitions the score.
+    # (5) project partitions the score — always (cheap).
     p_sel = tr.project(ks[1], sel)
     p_com = tr.project(ks[1], ~sel)
     _close(p_sel + p_com, tr.get_score(), "project partition", spec)
 
-    # An independent trace donates constraint values (different branch
-    # indices / mask flags with ~50% probability — the hard cases).
-    donor = gf.simulate(ks[2], args)
-    constraint = donor.get_choices().filter(sel)
+    if which is None:
+        rotations = (0, 1, 2)
+    else:
+        rotations = (which % 3,)
 
-    # (2) generate weight telescopes: the constrained subtrees' score is
-    # the weight; everything else was internally proposed.
-    tr2, w2 = gf.generate(ks[3], constraint, args)
-    internal = tr2.project(ks[4], ~sel)
-    _close(w2, tr2.get_score() - internal, "generate telescoping", spec)
+    if 0 in rotations or 1 in rotations:
+        # An independent trace donates constraint values (different
+        # branch indices / mask flags with ~50% probability — the hard
+        # cases). Needed by identities (2) and (3).
+        donor = gf.simulate(ks[2], args)
+        constraint = donor.get_choices().filter(sel)
 
-    # (3) update telescoping + discard round trip (edit/inverse-edit).
-    new_tr, w3, _, bwd = gf.edit(
-        ks[5], tr, Update(constraint), Diff.no_change(args)
-    )
-    _close(w3, new_tr.get_score() - tr.get_score(), "update telescoping", spec)
-    if isinstance(bwd, Update):
-        back, w4, _, _ = gf.edit(
-            ks[6], new_tr, bwd, Diff.no_change(args)
+    if 0 in rotations:
+        # (2) generate weight telescopes: the constrained subtrees'
+        # score is the weight; everything else was internally proposed.
+        tr2, w2 = gf.generate(ks[3], constraint, args)
+        internal = tr2.project(ks[4], ~sel)
+        _close(w2, tr2.get_score() - internal, "generate telescoping", spec)
+
+    if 1 in rotations:
+        # (3) update telescoping + discard round trip (edit/inverse).
+        new_tr, w3, _, bwd = gf.edit(
+            ks[5], tr, Update(constraint), Diff.no_change(args)
         )
-        _close(back.get_score(), tr.get_score(), "discard round trip", spec)
-        _close(w3 + w4, 0.0, "update weight antisymmetry", spec)
+        _close(
+            w3, new_tr.get_score() - tr.get_score(), "update telescoping", spec
+        )
+        if isinstance(bwd, Update):
+            back, w4, _, _ = gf.edit(
+                ks[6], new_tr, bwd, Diff.no_change(args)
+            )
+            _close(back.get_score(), tr.get_score(), "discard round trip", spec)
+            _close(w3 + w4, 0.0, "update weight antisymmetry", spec)
 
-    # (4) regenerate weight == Δ joint score, selection including the
-    # discrete controls (mask flags / switch indices regenerate too).
-    new_tr2, w5, _, _ = Regenerate(sel).edit(
-        ks[7], tr, Diff.no_change(args)
-    )
-    _close(
-        w5, new_tr2.get_score() - tr.get_score(), "regenerate weight", spec
-    )
+    if 2 in rotations:
+        # (4) regenerate weight == Δ joint score, selection including
+        # the discrete controls (mask flags / switch indices flip).
+        new_tr2, w5, _, _ = Regenerate(sel).edit(
+            ks[7], tr, Diff.no_change(args)
+        )
+        _close(
+            w5, new_tr2.get_score() - tr.get_score(), "regenerate weight", spec
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -305,14 +333,18 @@ PAIRS = [
 class TestExhaustivePairwise:
     @pytest.mark.parametrize("kind", range(N_LEAVES))
     def test_leaves(self, kind):
+        # Leaves are cheap: run the full battery.
         check_contract(("leaf", kind), seed=kind, x=0.3, bits=0b11)
 
     @pytest.mark.parametrize("outer,inner", PAIRS)
     def test_all_pairwise_nestings(self, outer, inner):
         spec = _wrap(outer, _wrap(inner, ("leaf", 1)))
+        seed = (COMBINATORS.index(outer) * 7 + COMBINATORS.index(inner)) * 13
         # bits=0b11 selects both root addresses (control + body where
-        # present) — the flag-flip / branch-change path.
-        check_contract(spec, seed=hash((outer, inner)) % 997, x=0.4, bits=0b11)
+        # present) — the flag-flip / branch-change path. The rotated
+        # identity varies with the pair, so across the 49 pairs each
+        # edit identity covers every combinator in both positions.
+        check_contract(spec, seed=seed, x=0.4, bits=0b11, which=seed)
 
     @pytest.mark.parametrize("outer,inner", PAIRS[::3])
     def test_pairwise_partial_selection(self, outer, inner):
@@ -320,7 +352,8 @@ class TestExhaustivePairwise:
         # outers that's the bare control (index/flag) with the body left
         # unconstrained — the straddling-constraint case.
         spec = _wrap(outer, _wrap(inner, ("leaf", 3)))
-        check_contract(spec, seed=hash((inner, outer)) % 997, x=-0.2, bits=0b01)
+        seed = (COMBINATORS.index(inner) * 7 + COMBINATORS.index(outer)) * 11
+        check_contract(spec, seed=seed, x=-0.2, bits=0b01, which=seed + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -345,11 +378,17 @@ def _depth(spec):
     return 1 + max((_depth(s) for s in spec[1:] if isinstance(s, tuple)), default=0)
 
 
-shallow_specs = specs.filter(lambda s: _depth(s) <= 3)
+# Depth cap 2 for the randomized sweep: a depth-3 structure costs
+# 12-20 s PER GFI BATTERY in eager tracing (multi_switch traces every
+# branch at every call, times scan steps, times nesting), which blew the
+# suite budget at depth 3. Depth-2 interactions are already covered
+# exhaustively above; the depth-3 hard cases run as the two FIXED
+# structures below with small example counts.
+shallow_specs = specs.filter(lambda s: _depth(s) <= 2)
 
 
 class TestRandomStructures:
-    @settings(max_examples=80, deadline=None)
+    @settings(max_examples=130, deadline=None, derandomize=True)
     @given(
         shallow_specs,
         st.integers(0, 2**16),
@@ -357,19 +396,19 @@ class TestRandomStructures:
         st.integers(0, 3),
     )
     def test_contract_random_structures(self, spec, seed, x, bits):
-        check_contract(spec, seed=seed, x=x, bits=bits)
+        check_contract(spec, seed=seed, x=x, bits=bits, which=seed)
 
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=8, deadline=None, derandomize=True)
     @given(st.integers(0, 2**16), st.floats(-1.0, 1.0, allow_nan=False))
     def test_triple_nest_switch_scan_repeat(self, seed, x):
         # The reference's own broken case, three deep: switch under scan
         # under repeat(vmap), full-selection constraints.
         spec = ("repeat", ("scan", ("switch", ("leaf", 1), ("leaf", 2))))
-        check_contract(spec, seed=seed, x=x, bits=0b1)
+        check_contract(spec, seed=seed, x=x, bits=0b1, which=seed)
 
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=8, deadline=None, derandomize=True)
     @given(st.integers(0, 2**16), st.floats(-1.0, 1.0, allow_nan=False))
     def test_triple_nest_mask_switch_scan(self, seed, x):
         # Mask flags flipping around branch structure inside a scan.
         spec = ("mask", ("switch", ("scan", ("leaf", 0)), ("leaf", 3)))
-        check_contract(spec, seed=seed, x=x, bits=0b11)
+        check_contract(spec, seed=seed, x=x, bits=0b11, which=seed)

@@ -133,3 +133,176 @@ class TestDynamicFallback:
         )
         new_tr, w, _, _ = tr.update(jax.random.key(1), constraint)
         assert jnp.allclose(w, new_tr.get_score() - tr.get_score(), atol=1e-5)
+
+
+@g.gen
+def _passthrough(x):
+    b = g.flip(0.5) @ "b"
+    # retval deterministically reads the model argument
+    return x + jnp.float32(b)
+
+
+@g.gen
+def _composite_chain(x):
+    a = _passthrough(x) @ "a"
+    c = g.normal(a, 1.0) @ "c"
+    return c
+
+
+class TestCompositeRetvalPropagation:
+    """A composite callee's retval may deterministically read the model
+    args (`return x + b`), so argument change must flow THROUGH the site
+    to downstream consumers — while a distribution site's retval (its
+    kept value) must not. Round-4 soundness fix: previously "c" below was
+    wrongly reused under changed args (stale score, zero weight)."""
+
+    def test_composite_retval_propagates(self):
+        ks = jax.random.split(jax.random.key(0), 2)
+        tr = _composite_chain.simulate(ks[0], (jnp.float32(0.0),))
+        new_tr, w, _, _ = _composite_chain.edit(
+            ks[1],
+            tr,
+            g.Update(ChoiceMap.empty()),
+            (Diff.unknown_change(jnp.float32(3.0)),),
+        )
+        score_true, _ = _composite_chain.assess(
+            new_tr.get_choices(), (jnp.float32(3.0),)
+        )
+        assert jnp.allclose(new_tr.get_score(), score_true, atol=1e-5)
+        assert jnp.allclose(w, score_true - tr.get_score(), atol=1e-5)
+        # values are KEPT (update semantics), only densities move
+        assert jnp.allclose(new_tr.get_choices()["a", "b"], tr.get_choices()["a", "b"])
+        assert jnp.allclose(new_tr.get_choices()["c"], tr.get_choices()["c"])
+
+    def test_distribution_chain_keeps_reuse_under_changed_args(self):
+        # a is rescored under the new args but its VALUE is kept, so b's
+        # density (which reads a's value, not the args) is reused verbatim.
+        tr = chain_model.simulate(jax.random.key(0), (0.0,))
+        new_tr, w, _, _ = chain_model.edit(
+            jax.random.key(1),
+            tr,
+            g.Update(ChoiceMap.empty()),
+            (Diff.unknown_change(jnp.float32(2.0)),),
+        )
+        assert new_tr.get_subtrace("b") is tr.get_subtrace("b")
+        assert new_tr.get_subtrace("c") is tr.get_subtrace("c")
+        score_true, _ = chain_model.assess(new_tr.get_choices(), (jnp.float32(2.0),))
+        assert jnp.allclose(new_tr.get_score(), score_true, atol=1e-5)
+
+
+@g.gen
+def _mixed_inputs(a, x):
+    return g.normal(a + x, 1.0) @ "v"
+
+
+@g.gen
+def _two_input_site(x):
+    a = g.normal(0.0, 1.0) @ "a"
+    b = _mixed_inputs(a, x) @ "b"
+    return b
+
+
+class TestPerLeafArgdiffMasks:
+    """The plan distinguishes WHICH argument leaves of an edited site
+    changed, so combinators keep their cheap same-structure paths (e.g. a
+    Switch's index arg stays NoChange when only data args changed)."""
+
+    def test_args_changed_only_x_leaf(self):
+        graph = site_graph(_two_input_site.source, (jnp.float32(0.0),))
+        mask = graph.argdiff_mask("b", frozenset(), True)
+        # site args are (a, x): a is an untouched site's kept value ->
+        # unchanged; x reads the model args -> changed.
+        assert mask == (False, True)
+
+    def test_touched_upstream_only_a_leaf(self):
+        graph = site_graph(_two_input_site.source, (jnp.float32(0.0),))
+        mask = graph.argdiff_mask("b", frozenset({"a"}), False)
+        assert mask == (True, False)
+
+    def test_update_keeps_values_and_weight_under_per_leaf_plan(self):
+        ks = jax.random.split(jax.random.key(7), 2)
+        tr = _two_input_site.simulate(ks[0], (jnp.float32(0.0),))
+        new_tr, w, _, _ = _two_input_site.edit(
+            ks[1],
+            tr,
+            g.Update(ChoiceMap.empty()),
+            (Diff.unknown_change(jnp.float32(1.5)),),
+        )
+        score_true, _ = _two_input_site.assess(
+            new_tr.get_choices(), (jnp.float32(1.5),)
+        )
+        assert jnp.allclose(new_tr.get_score(), score_true, atol=1e-5)
+        assert jnp.allclose(w, score_true - tr.get_score(), atol=1e-5)
+        assert jnp.allclose(
+            new_tr.get_choices()["b", "v"], tr.get_choices()["b", "v"]
+        )
+
+
+@g.gen
+def _scaled_site(s):
+    return g.normal(s, 0.5) @ "w"
+
+
+@g.gen
+def _closure_capture(x):
+    a = g.normal(x, 1.0) @ "a"
+    # a closure built inside the source, capturing the sampled value
+    v = _scaled_site.partial_apply(a)() @ "v"
+    return v
+
+
+class TestClosureCaptureEdit:
+    """A callee constructed inside the source may capture an upstream
+    sampled value; editing that upstream value must re-score the callee
+    against the NEW capture (round-4 fix: the handler previously
+    dispatched through the subtrace's stale gen_fn)."""
+
+    def test_update_rescores_captured_value(self):
+        ks = jax.random.split(jax.random.key(3), 2)
+        tr = _closure_capture.simulate(ks[0], (jnp.float32(0.0),))
+        new_tr, w, _, _ = _closure_capture.edit(
+            ks[1],
+            tr,
+            g.Update(ChoiceMap.kw(a=4.0)),
+            Diff.no_change(tr.get_args()),
+        )
+        score_true, _ = _closure_capture.assess(
+            new_tr.get_choices(), tr.get_args()
+        )
+        assert jnp.allclose(new_tr.get_score(), score_true, atol=1e-5)
+        assert jnp.allclose(w, score_true - tr.get_score(), atol=1e-5)
+        # the inner value is kept, only its density moves
+        assert jnp.allclose(
+            new_tr.get_choices()["v", "w"], tr.get_choices()["v", "w"]
+        )
+
+
+class TestSwitchPathPrecision:
+    """When only a Switch site's DATA arguments changed, the per-leaf
+    argdiff plan must hand the Switch a NoChange index tangent, keeping
+    the cheap same-branch edit (ONE branch execution). A coarse
+    all-unknown argdiff would force the dual same/fresh path (two
+    lax.switch executions)."""
+
+    def test_mix_edit_single_branch_execution(self):
+        mixed = g.mix(chain_model, chain_model)
+
+        @g.gen
+        def model(x):
+            r = mixed(jnp.array([0.0, 0.0]), (x,), (x + 1.0,)) @ "mx"
+            return r
+
+        tr = model.simulate(jax.random.key(0), (jnp.float32(0.0),))
+
+        def edit_fn(key, t, x):
+            return model.edit(
+                key, t, g.Update(ChoiceMap.empty()), (Diff.unknown_change(x),)
+            )[1]
+
+        jaxpr = str(
+            jax.make_jaxpr(edit_fn)(jax.random.key(1), tr, jnp.float32(0.5))
+        )
+        assert jaxpr.count("cond[") == 1, (
+            "expected ONE lax.switch (same-branch edit); the dual "
+            "same/fresh path leaked into a data-args-only edit"
+        )
