@@ -168,6 +168,22 @@ class Vmap(Generic[R], GenerativeFunction[R]):
 
     # -- edit ------------------------------------------------------------------
 
+    @staticmethod
+    def _lane_rediff(argdiffs):
+        """Re-wrap a lane's sliced primal args with the (static, lane-
+        uniform) tangents of the incoming argdiffs, so a NoChange edit on
+        a vmapped model stays NoChange per lane — the incremental plan
+        recurses instead of recomputing every args-reading density."""
+        tangents = Diff.tree_tangent(argdiffs)
+
+        def rediff(args):
+            try:
+                return Diff.tree_diff(args, tangents)
+            except Exception:
+                return Diff.unknown_change(args)
+
+        return rediff
+
     def edit_update(
         self,
         key: PRNGKey,
@@ -179,11 +195,12 @@ class Vmap(Generic[R], GenerativeFunction[R]):
         n = trace.dim_length
         idxs = jnp.arange(n)
         sub_keys = jax.random.split(key, n)
+        rediff = self._lane_rediff(argdiffs)
 
         def _edit(key, idx, subtrace, args):
             sub = constraint(idx)
             new_sub, w, rd, bwd = self.gen_fn.edit(
-                key, subtrace, Update(sub), Diff.unknown_change(args)
+                key, subtrace, Update(sub), rediff(args)
             )
             assert isinstance(bwd, Update)
             return new_sub, w, Diff.tree_primal(rd), bwd.constraint
@@ -214,13 +231,15 @@ class Vmap(Generic[R], GenerativeFunction[R]):
         idxs = jnp.arange(n)
         sub_keys = jax.random.split(key, n)
 
+        rediff = self._lane_rediff(argdiffs)
+
         def _edit(key, idx, subtrace, args):
             # Slice the selection per lane: a `VmapTrace`'s addresses nest
             # under the integer lane index (matching `get_choices()` and
             # `Scan`'s address space), so `S[i, "x"]` targets lane i only
             # and `S[..., "x"]` targets every lane.
             new_sub, w, rd, bwd = self.gen_fn.edit(
-                key, subtrace, Regenerate(selection(idx)), Diff.unknown_change(args)
+                key, subtrace, Regenerate(selection(idx)), rediff(args)
             )
             return new_sub, w, Diff.tree_primal(rd)
 

@@ -242,15 +242,16 @@ def check_contract(spec, seed: int, x: float, bits: int, which=None):
     `which=None` runs the full battery. Because eager tracing through a
     deep combinator nest costs seconds per GFI call, the randomized
     sweeps ROTATE the expensive edit identities instead
-    (`which = seed % 3`): every example checks simulate/assess agreement
+    (`which = seed % 4`): every example checks simulate/assess agreement
     and project partitioning, plus one of {generate telescoping,
-    update + discard round trip, regenerate weight} — across hundreds of
-    examples each identity still sees every structural family.
+    update + discard round trip, regenerate weight, changed-args
+    rescore} — across hundreds of examples each identity still sees
+    every structural family.
     """
     gf, addrs = build(spec)
     args = (jnp.float32(x),)
     k = jax.random.key(seed)
-    ks = jax.random.split(k, 8)
+    ks = jax.random.split(k, 9)
 
     # (1) simulate/assess agree — always.
     tr = gf.simulate(ks[0], args)
@@ -266,9 +267,9 @@ def check_contract(spec, seed: int, x: float, bits: int, which=None):
     _close(p_sel + p_com, tr.get_score(), "project partition", spec)
 
     if which is None:
-        rotations = (0, 1, 2)
+        rotations = (0, 1, 2, 3)
     else:
-        rotations = (which % 3,)
+        rotations = (which % 4,)
 
     if 0 in rotations or 1 in rotations:
         # An independent trace donates constraint values (different
@@ -292,6 +293,11 @@ def check_contract(spec, seed: int, x: float, bits: int, which=None):
         _close(
             w3, new_tr.get_score() - tr.get_score(), "update telescoping", spec
         )
+        # Absolute anchor: telescoping alone can pass with consistently-
+        # stale scores (both sides wrong by the same amount); the assess
+        # oracle cannot.
+        oracle3, _ = gf.assess(new_tr.get_choices(), args)
+        _close(new_tr.get_score(), oracle3, "update assess oracle", spec)
         if isinstance(bwd, Update):
             back, w4, _, _ = gf.edit(
                 ks[6], new_tr, bwd, Diff.no_change(args)
@@ -308,6 +314,38 @@ def check_contract(spec, seed: int, x: float, bits: int, which=None):
         _close(
             w5, new_tr2.get_score() - tr.get_score(), "regenerate weight", spec
         )
+        oracle4, _ = gf.assess(new_tr2.get_choices(), args)
+        _close(new_tr2.get_score(), oracle4, "regenerate assess oracle", spec)
+
+    if 3 in rotations:
+        # (6) changed-args rescore: an empty-constraint Update under
+        # ACTUALLY-CHANGED arguments must keep every value and land on
+        # the assess-oracle score for the new args (this is the identity
+        # the same-primal battery cannot see — it caught the stale-reuse
+        # and switch-resimulation bugs fixed in round 4).
+        args2 = (jnp.float32(x) + 0.7,)
+        new_tr3, w6, _, _ = gf.edit(
+            ks[8],
+            tr,
+            Update(ChoiceMap.empty()),
+            jax.tree_util.tree_map(
+                lambda a: Diff.unknown_change(a), args2
+            ),
+        )
+        import jax.tree_util as jtu
+
+        for old_leaf, new_leaf in zip(
+            jtu.tree_leaves(tr.get_choices()),
+            jtu.tree_leaves(new_tr3.get_choices()),
+        ):
+            assert jnp.allclose(
+                jnp.asarray(old_leaf, dtype=jnp.float32),
+                jnp.asarray(new_leaf, dtype=jnp.float32),
+                atol=ATOL,
+            ), f"changed-args update moved a value for spec {spec}"
+        oracle, _ = gf.assess(new_tr3.get_choices(), args2)
+        _close(new_tr3.get_score(), oracle, "changed-args score", spec)
+        _close(w6, oracle - tr.get_score(), "changed-args weight", spec)
 
 
 # ---------------------------------------------------------------------------

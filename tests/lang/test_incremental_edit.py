@@ -306,3 +306,36 @@ class TestSwitchPathPrecision:
             "expected ONE lax.switch (same-branch edit); the dual "
             "same/fresh path leaked into a data-args-only edit"
         )
+
+
+class TestVmapArgdiffThreading:
+    """Vmap re-wraps each lane's sliced args with the INCOMING static
+    tangents (round-4): a NoChange edit on a vmapped model recurses the
+    O(affected) plan per lane instead of recomputing every args-reading
+    density. Pinned comparatively: the NoChange edit jaxpr must be
+    strictly smaller than the UnknownChange one."""
+
+    def test_no_change_edit_smaller_than_unknown(self):
+        @g.gen
+        def lane(mu):
+            a = g.normal(mu, 1.0) @ "a"
+            b = g.normal(a, 1.0) @ "b"
+            c = g.normal(0.0, 1.0) @ "c"
+            return b
+
+        model = lane.vmap(in_axes=(0,))
+        mus = jnp.zeros(64)
+        tr = model.simulate(jax.random.key(0), (mus,))
+        from genjax_tpu import ChoiceMapBuilder as C
+
+        def count(ad_fn):
+            def f(k, t, m):
+                return model.edit(
+                    k, t, g.Update(C[3, "c"].set(1.0)), (ad_fn(m),)
+                )[1]
+
+            return len(
+                jax.make_jaxpr(f)(jax.random.key(1), tr, mus).jaxpr.eqns
+            )
+
+        assert count(Diff.no_change) < count(Diff.unknown_change)
