@@ -206,6 +206,19 @@ class Scan(Generic[Carry, Y], GenerativeFunction[tuple[Carry, Y]]):
         realization of the reference's incremental re-scan)."""
         primals = Diff.tree_primal(argdiffs)
         carry, scanned_in = primals
+        # The carry entering each step may have changed (edits upstream in
+        # the sequence flow through it), so its tangent is always unknown;
+        # the scanned-in slice, however, inherits the CALLER's static
+        # tangents — a NoChange data axis keeps the step callee's
+        # O(affected) plan alive.
+        _, xs_ad = argdiffs
+        x_tangents = Diff.tree_tangent(xs_ad)
+
+        def _x_rediff(x):
+            try:
+                return Diff.tree_diff(x, x_tangents)
+            except Exception:
+                return Diff.unknown_change(x)
 
         def step(state, scanned):
             key, idx, c = state
@@ -213,7 +226,7 @@ class Scan(Generic[Carry, Y], GenerativeFunction[tuple[Carry, Y]]):
             sub_key = jax.random.fold_in(key, idx)
             request = make_request(idx)
             new_sub, w, rd, bwd = request.edit(
-                sub_key, subtrace, Diff.unknown_change((c, x))
+                sub_key, subtrace, (Diff.unknown_change(c), _x_rediff(x))
             )
             c_out, y = Diff.tree_primal(rd)
             return (key, idx + 1, c_out), (new_sub, y, new_sub.get_score(), w, bwd)
