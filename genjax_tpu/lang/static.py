@@ -312,9 +312,52 @@ class StaticRequestHandler(StaticLangHandler):
     def handle_trace(self, addr, gen_fn, args):
         subtrace = self.previous_trace.get_inner_trace(addr)
         subrequest = self.addressed.get(addr, EmptyRequest())
-        tr, w, retdiff, bwd = subrequest.edit(
-            self.fresh_key(), subtrace, Diff.unknown_change(args)
-        )
+        argdiffs = Diff.unknown_change(args)
+        if not _callee_leaves_match(gen_fn, subtrace.get_gen_fn()):
+            # The callee's own pytree leaves (closure captures built
+            # inside the source) changed under an upstream sub-edit —
+            # argdiffs cannot express that (a zero-arg `partial_apply`
+            # callee would even see trivially-NoChange argdiffs), so the
+            # site must densely recompute under the FRESH callee (see
+            # UpdateHandler.handle_trace). Express the subrequest in the
+            # dense formulation where possible.
+            old_choices = subtrace.get_choices()
+            if isinstance(subrequest, (EmptyRequest, Update)):
+                sub_constraint = (
+                    subrequest.constraint
+                    if isinstance(subrequest, Update)
+                    else ChoiceMap.empty()
+                )
+                tr, _ = gen_fn.generate(
+                    self.fresh_key(), sub_constraint | old_choices, args
+                )
+                bwd = Update(old_choices.filter(sub_constraint.get_selection()))
+            elif isinstance(subrequest, Regenerate):
+                kept = old_choices.filter(~subrequest.selection)
+                tr, _ = gen_fn.generate(self.fresh_key(), kept, args)
+                bwd = Regenerate(subrequest.selection)
+            else:
+                raise NotSupportedEditRequest(
+                    f"StaticRequest at {addr!r}: the callee's closure "
+                    "captures changed under this edit, and "
+                    f"{type(subrequest).__name__} cannot be composed with "
+                    "a dense recompute. Split the edit: first Update the "
+                    "upstream value, then apply the request."
+                )
+            self.weight += tr.get_score() - subtrace.get_score()
+            self.bwd_requests.append(bwd)
+            self.record(addr, tr)
+            return tr.get_retval()
+        if isinstance(subrequest, PrimitiveEditRequest):
+            # Fresh-callee dispatch (leaf-identical to the stored one
+            # here; see UpdateHandler.handle_trace).
+            tr, w, retdiff, bwd = gen_fn.edit(
+                self.fresh_key(), subtrace, subrequest, argdiffs
+            )
+        else:
+            tr, w, retdiff, bwd = subrequest.edit(
+                self.fresh_key(), subtrace, argdiffs
+            )
         self.bwd_requests.append(bwd)
         self.weight += w
         self.record(addr, tr)

@@ -277,6 +277,56 @@ class TestClosureCaptureEdit:
         )
 
 
+class TestStaticRequestCaptureEdit:
+    """The same stale-capture hazard under `StaticRequest`: a site whose
+    callee captures an upstream value edited by a sibling sub-request must
+    densely recompute under the FRESH callee (round-4 fix). The zero-arg
+    `partial_apply` callee makes this maximally adversarial — its argdiffs
+    are trivially NoChange, so only the callee-leaf guard can catch it."""
+
+    def test_sibling_update_rescores_captured_value(self):
+        from genjax_tpu import Update
+        from genjax_tpu.lang.static import StaticRequest
+
+        ks = jax.random.split(jax.random.key(3), 2)
+        tr = _closure_capture.simulate(ks[0], (jnp.float32(0.0),))
+        req = StaticRequest({"a": Update(ChoiceMap.value(jnp.float32(4.0)))})
+        new_tr, w, _, _ = _closure_capture.edit(
+            ks[1], tr, req, Diff.no_change(tr.get_args())
+        )
+        score_true, _ = _closure_capture.assess(
+            new_tr.get_choices(), tr.get_args()
+        )
+        assert jnp.allclose(new_tr.get_score(), score_true, atol=1e-5)
+        assert jnp.allclose(w, score_true - tr.get_score(), atol=1e-5)
+        # untargeted site keeps its value; only its density moves
+        assert jnp.allclose(
+            new_tr.get_choices()["v", "w"], tr.get_choices()["v", "w"]
+        )
+
+    def test_regenerate_on_capture_tainted_site(self):
+        from genjax_tpu import Update
+        from genjax_tpu.lang.static import StaticRequest
+
+        tr = _closure_capture.simulate(jax.random.key(3), (jnp.float32(0.0),))
+        req = StaticRequest(
+            {
+                "a": Update(ChoiceMap.value(jnp.float32(2.0))),
+                "v": Regenerate(Selection.all()),
+            }
+        )
+        new_tr, _, _, _ = _closure_capture.edit(
+            jax.random.key(7), tr, req, Diff.no_change(tr.get_args())
+        )
+        score_true, _ = _closure_capture.assess(
+            new_tr.get_choices(), tr.get_args()
+        )
+        assert jnp.allclose(new_tr.get_score(), score_true, atol=1e-5)
+        assert not jnp.allclose(
+            new_tr.get_choices()["v", "w"], tr.get_choices()["v", "w"]
+        )
+
+
 class TestSwitchPathPrecision:
     """When only a Switch site's DATA arguments changed, the per-leaf
     argdiff plan must hand the Switch a NoChange index tangent, keeping
