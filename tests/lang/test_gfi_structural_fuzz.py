@@ -5,7 +5,9 @@ model STRUCTURE fixed, but the edit-weight algebra's hard cases are
 structural — Switch inside Scan inside Vmap, Mask flags flipping during
 Regenerate, constraints that straddle combinator boundaries. This
 fuzzer *generates model structures*: a spec grammar over
-scan / repeat(vmap) / switch / mask / mix / dimap / static-nesting with
+scan / repeat(vmap) / switch / mask / mix / dimap / static-nesting /
+closure-capture (a zero-arg `partial_apply` callee capturing an upstream
+sampled value — the round-4 stale-capture bug family) with
 distribution leaves (normal, gamma+normal chain, flip, beta), built
 into real generative functions, then checked against the GFI contract:
 
@@ -22,12 +24,16 @@ into real generative functions, then checked against the GFI contract:
   4. regenerate weight == Δ joint score, with selections that include
      the discrete controls (so Regenerate itself flips mask flags and
      switch branches);
-  5. project partitions the score: project(sel) + project(~sel) == score.
+  5. project partitions the score: project(sel) + project(~sel) == score;
+  6. changed-args rescore (empty Update under moved args keeps values,
+     lands on the assess oracle);
+  7. StaticRequest with mixed per-address Update/Regenerate sub-requests
+     telescopes to Δscore and lands on the assess oracle.
 
 Two generators feed the same contract battery:
 
 - an exhaustive depth-2 sweep over every ordered (outer, inner)
-  combinator pair — 7 x 7 = 49 structures plus all leaves, so every
+  combinator pair — 8 x 8 = 64 structures plus all leaves, so every
   pairwise nesting (including the reference's known-broken
   switch-under-scan case, `_src/.../switch.py:295`) is covered every
   run, deterministically;
@@ -71,7 +77,16 @@ ATOL = 2e-3  # f32 sums of ~dozens of logpdfs
 # ---------------------------------------------------------------------------
 
 N_LEAVES = 4
-COMBINATORS = ("call", "scan", "repeat", "switch", "mask", "mix", "dimap")
+COMBINATORS = (
+    "call",
+    "scan",
+    "repeat",
+    "switch",
+    "mask",
+    "mix",
+    "dimap",
+    "capture",
+)
 
 
 def _leaf(kind: int):
@@ -213,6 +228,23 @@ def build(spec):
 
         return dimap_node, ["dm"]
 
+    if head == "capture":
+        gs, _ = build(spec[1])
+
+        @g.gen
+        def capture_node(x):
+            # The closure-capture family: a callee BUILT inside the
+            # source capturing an upstream sampled value. Its argdiffs
+            # are trivially NoChange (zero-arg partial_apply), so every
+            # edit that moves `a` must flow through the callee-leaf
+            # dense-recompute guard — the round-4 stale-capture bug
+            # class (three distinct handler paths were affected).
+            a = g.normal(x, 0.7) @ "a"
+            r = gs.partial_apply(a)() @ "cp"
+            return 0.5 * (r + a)
+
+        return capture_node, ["a", "cp"]
+
     raise ValueError(f"unknown spec head {head!r}")
 
 
@@ -267,11 +299,11 @@ def check_contract(spec, seed: int, x: float, bits: int, which=None):
     _close(p_sel + p_com, tr.get_score(), "project partition", spec)
 
     if which is None:
-        rotations = (0, 1, 2, 3)
+        rotations = (0, 1, 2, 3, 4)
     else:
-        rotations = (which % 4,)
+        rotations = (which % 5,)
 
-    if 0 in rotations or 1 in rotations:
+    if 0 in rotations or 1 in rotations or 4 in rotations:
         # An independent trace donates constraint values (different
         # branch indices / mask flags with ~50% probability — the hard
         # cases). Needed by identities (2) and (3).
@@ -346,6 +378,37 @@ def check_contract(spec, seed: int, x: float, bits: int, which=None):
         oracle, _ = gf.assess(new_tr3.get_choices(), args2)
         _close(new_tr3.get_score(), oracle, "changed-args score", spec)
         _close(w6, oracle - tr.get_score(), "changed-args weight", spec)
+
+    if 4 in rotations:
+        # (7) StaticRequest: mixed per-address sub-requests. Even-indexed
+        # selected addresses get Update(donor submap), odd-indexed get
+        # Regenerate(all); untargeted sites rescore via EmptyRequest.
+        # The weight must telescope to Δscore (each site's contribution
+        # is its own Δscore under both sub-request kinds) and the new
+        # trace must sit on the assess oracle — the absolute anchor that
+        # caught the round-4 stale-capture bug in this handler.
+        from genjax_tpu.lang.static import StaticRequest
+
+        addressed = {}
+        for i, a in enumerate(addrs):
+            if bits & (1 << i):
+                if i % 2 == 0:
+                    addressed[a] = Update(constraint(a))
+                else:
+                    addressed[a] = Regenerate(Selection.all())
+        new_tr5, w7, _, _ = gf.edit(
+            ks[5], tr, StaticRequest(addressed), Diff.no_change(args)
+        )
+        oracle5, _ = gf.assess(new_tr5.get_choices(), args)
+        _close(
+            new_tr5.get_score(), oracle5, "static-request assess oracle", spec
+        )
+        _close(
+            w7,
+            new_tr5.get_score() - tr.get_score(),
+            "static-request weight",
+            spec,
+        )
 
 
 # ---------------------------------------------------------------------------
