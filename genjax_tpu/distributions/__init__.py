@@ -22,6 +22,7 @@ from genjax_tpu.distributions.library import (
     dirichlet_multinomial,
     double_sided_maxwell,
     exp_gamma,
+    exp_half_cauchy,
     exp_inverse_gamma,
     exponential,
     flip,
@@ -116,6 +117,7 @@ __all__ = [
     "double_sided_maxwell",
     "exact_density",
     "exp_gamma",
+    "exp_half_cauchy",
     "exp_inverse_gamma",
     "exponential",
     "flip",

@@ -260,6 +260,28 @@ def _half_cauchy_logpdf(v, loc, scale):
 half_cauchy = native_distribution(_half_cauchy_sample, _half_cauchy_logpdf, "half_cauchy")
 
 
+def _exp_half_cauchy_sample(key, scale):
+    shape = jnp.shape(scale * 1.0)
+    return jnp.log(scale) + jnp.log(
+        jnp.abs(jax.random.cauchy(key, shape=shape))
+    )
+
+
+def _exp_half_cauchy_logpdf(v, scale):
+    # X = log(HalfCauchy(0, scale)): the unconstrained parameterization
+    # for hierarchical scale priors (gradient samplers never hit the
+    # tau >= 0 boundary). p(x) = HC(e^x; scale) * e^x; both tails decay
+    # exponentially in x (left like e^x, right like e^-x).
+    z = v - jnp.log(scale)
+    # log(2/pi) + z - log1p(e^{2z}), with log1p(e^t) = softplus(t).
+    return jnp.log(2.0) - jnp.log(jnp.pi) + z - jax.nn.softplus(2.0 * z)
+
+
+exp_half_cauchy = native_distribution(
+    _exp_half_cauchy_sample, _exp_half_cauchy_logpdf, "exp_half_cauchy"
+)
+
+
 def _half_normal_sample(key, scale):
     return scale * jnp.abs(jax.random.normal(key, shape=jnp.shape(scale * 1.0)))
 

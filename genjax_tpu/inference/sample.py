@@ -100,6 +100,7 @@ def sample_posterior(
     L: int = 10,
     max_depth: int = 6,
     thin_burn: int = 0,
+    init: Any = None,
 ) -> PosteriorSamples:
     """Sample `p(latents | constraint)` for `model(*args)`.
 
@@ -110,6 +111,15 @@ def sample_posterior(
     (per-draw adaptive trajectories, up to `2**max_depth - 1` leapfrog
     steps each), or `"elliptical"` (tuning-free slice moves for
     zero-mean Gaussian-prior latents — no gradient, no step size).
+
+    `init` overrides initial values for (a subset of) the latents at
+    chain construction — a `ChoiceMap`, or a callable `key -> ChoiceMap`
+    for randomized per-chain starts (Stan's `uniform(-2, 2)`
+    convention). Latents initialized this way are still sampled by the
+    kernel. Use it when the PRIOR is a bad initializer: heavy-tailed
+    scale priors (half-Cauchy) start some chains at extreme values
+    where a globally-adapted step size cannot move them — the classic
+    funnel stall (see `models/hierarchical.py`).
 
     >>> import jax, jax.numpy as jnp
     >>> import genjax_tpu as gx
@@ -133,10 +143,20 @@ def sample_posterior(
 
     k_init, k_warm, k_run = jax.random.split(key, 3)
     keys = jax.random.split(k_init, n_chains)
-    traces, _ = jax.vmap(
-        lambda k: model.importance(k, constraint, args)
-    )(keys)
+
+    def _init_one(k):
+        if init is None:
+            merged = constraint
+        else:
+            k, k_over = jax.random.split(k)
+            over = init(k_over) if callable(init) else init
+            merged = constraint | over
+        return model.importance(k, merged, args)[0]
+
+    traces = jax.vmap(_init_one)(keys)
     if selection is None:
+        # From the OBSERVATION constraint only: init-overridden latents
+        # are still latents (sampled by the kernel).
         selection = ~constraint.get_selection()
 
     def collect(tr):

@@ -1,6 +1,14 @@
 """Benchmark model zoo (the BASELINE.md configs) + application models."""
 
 from genjax_tpu.models.beta_bernoulli import beta_bernoulli, run_sir
+from genjax_tpu.models.hierarchical import (
+    EIGHT_SCHOOLS_SIGMA,
+    EIGHT_SCHOOLS_Y,
+    eight_schools,
+    eight_schools_centered,
+    eight_schools_quadrature,
+    run_eight_schools,
+)
 from genjax_tpu.models.gp import (
     gp_posterior,
     make_gp_regression,
@@ -34,6 +42,12 @@ __all__ = [
     "StructuralTimeSeries",
     "ar",
     "beta_bernoulli",
+    "EIGHT_SCHOOLS_SIGMA",
+    "EIGHT_SCHOOLS_Y",
+    "eight_schools",
+    "eight_schools_centered",
+    "eight_schools_quadrature",
+    "run_eight_schools",
     "logistic_regression",
     "gp_posterior",
     "make_gmm",

@@ -48,6 +48,7 @@ CONTINUOUS_CASES = [
     (g.gamma, (3.0, 2.0), (0, 30), 1.5, 0.75),
     (g.inverse_gamma, (4.0, 3.0), (1e-4, 50), 1.0, 0.5),
     (g.exp_gamma, (2.0, 1.0), (-15, 10), None, None),
+    (g.exp_half_cauchy, (5.0,), (-35, 40), None, None),
     (g.exp_inverse_gamma, (2.0, 1.0), (-10, 15), None, None),
     (g.chi2, (4.0,), (0, 60), 4.0, 8.0),
     (g.chi, (3.0,), (0, 15), np.sqrt(2) / 0.88622693, None),  # sqrt2*gamma(2)/gamma(1.5)

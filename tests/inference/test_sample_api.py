@@ -100,6 +100,33 @@ class TestSamplePosterior:
         )
         assert abs(float(jnp.var(ys)) - 1.5) < 0.2
 
+    def test_init_overrides_start_not_selection(self):
+        # `init` pins starting values (ChoiceMap or key->ChoiceMap); the
+        # overridden latent is still sampled by the kernel, so the
+        # posterior is untouched — only the starting point moved.
+        for init in (
+            ChoiceMap.kw(mu=3.0),
+            lambda k: ChoiceMap.kw(
+                mu=jax.random.uniform(k, minval=-2.0, maxval=2.0)
+            ),
+        ):
+            out = sample_posterior(
+                jax.random.key(1),
+                conjugate,
+                ChoiceMap.kw(obs=1.0),
+                algorithm="hmc",
+                n_chains=64,
+                n_warmup=100,
+                n_samples=150,
+                L=5,
+                init=init,
+            )
+            mus = out.samples["mu"]
+            se = float(jnp.sqrt(POST_VAR / 64))
+            assert abs(float(jnp.mean(mus)) - POST_MEAN) < 6 * se
+            # it moved: the kernel did not hold mu at its init value
+            assert float(jnp.var(mus)) > 0.2
+
     def test_unknown_algorithm_raises(self):
         with pytest.raises(ValueError, match="unknown algorithm"):
             sample_posterior(
