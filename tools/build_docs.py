@@ -3,7 +3,7 @@
 The reference ships an mkdocs site with strict CI
 (`/root/reference/mkdocs.yml`); this container has no mkdocs (zero
 egress), so this builder renders the same documentation surface —
-README, docs/API.md, docs/library/*.md, and the 28 executable cookbook
+README, docs/API.md, docs/library/*.md, and the 29 executable cookbook
 chapters — into a self-contained static HTML site with a navigation
 sidebar, using the in-image `markdown` + `pygments` packages.
 
