@@ -24,6 +24,7 @@ Capability parity with the reference: `Pytree.dataclass`, `Pytree.static`,
 """
 
 import dataclasses
+import types
 from collections.abc import Callable
 from typing import Any, Generic, TypeVar
 
@@ -63,7 +64,74 @@ class _HashableWrapper:
         return f"_HashableWrapper({self.val!r})"
 
 
+class _FnWrapper:
+    """Treedef-resident wrapper for static FUNCTION fields.
+
+    Two function objects produced by re-executing the same source line
+    (in-body `@gen`, `mix(...)`, `partial_apply`, dimap lambdas) compare
+    EQUAL when their code, globals dict, defaults, and closure cell
+    contents agree. Without this, every re-trace of a model that builds
+    a callee inside its body would mint a fresh function identity in the
+    treedef — and `edit` would return a trace whose treedef differs from
+    its input's, breaking every accept/reject select, `lax.cond` branch
+    pairing, and scan carry over traces (`where_tree` requires
+    treedef-equal operands)."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __eq__(self, other):
+        if not isinstance(other, _FnWrapper):
+            return NotImplemented
+        return _fn_eq(self.fn, other.fn)
+
+    def __hash__(self):
+        fn = self.fn
+        if isinstance(fn, types.MethodType):
+            fn = fn.__func__
+        return hash(getattr(fn, "__code__", fn))
+
+    def __repr__(self):
+        return f"_FnWrapper({self.fn!r})"
+
+
+def _fn_eq(a, b) -> bool:
+    if a is b:
+        return True
+    if isinstance(a, types.MethodType) and isinstance(b, types.MethodType):
+        return _fn_eq(a.__func__, b.__func__) and _static_eq(
+            a.__self__, b.__self__
+        )
+    if not (
+        isinstance(a, types.FunctionType) and isinstance(b, types.FunctionType)
+    ):
+        return a is b
+    if a.__code__ is not b.__code__:
+        return False
+    if a.__globals__ is not b.__globals__:
+        return False
+    if not _static_eq(a.__defaults__, b.__defaults__):
+        return False
+    if not _static_eq(a.__kwdefaults__, b.__kwdefaults__):
+        return False
+    ca, cb = a.__closure__ or (), b.__closure__ or ()
+    if len(ca) != len(cb):
+        return False
+    try:
+        return all(
+            _static_eq(x.cell_contents, y.cell_contents)
+            for x, y in zip(ca, cb)
+        )
+    except ValueError:  # empty cell
+        return False
+
+
 def _static_freeze(v):
+    if isinstance(v, (types.FunctionType, types.MethodType)):
+        fn = v.__func__ if isinstance(v, types.MethodType) else v
+        return ("__fn__", getattr(fn, "__code__", fn))
     if isinstance(v, dict):
         return ("__dict__", tuple(sorted(((k, _static_freeze(x)) for k, x in v.items()), key=lambda kv: repr(kv[0]))))
     if isinstance(v, (list, tuple)):
@@ -80,10 +148,24 @@ def _static_freeze(v):
 def _static_eq(a, b) -> bool:
     if a is b:
         return True
+    if isinstance(a, (types.FunctionType, types.MethodType)) and isinstance(
+        b, (types.FunctionType, types.MethodType)
+    ):
+        return _fn_eq(a, b)
     if isinstance(a, dict) and isinstance(b, dict):
         return a.keys() == b.keys() and all(_static_eq(a[k], b[k]) for k in a)
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         return len(a) == len(b) and all(_static_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, Pytree) and isinstance(b, Pytree):
+        # Structural comparison, recursing through the fn-aware treedef
+        # equality (closure cells routinely hold generative functions).
+        la, ta = jtu.tree_flatten(a)
+        lb, tb = jtu.tree_flatten(b)
+        return (
+            ta == tb
+            and len(la) == len(lb)
+            and all(_static_eq(x, y) for x, y in zip(la, lb))
+        )
     try:
         return bool(a == b)
     except Exception:
@@ -91,6 +173,8 @@ def _static_eq(a, b) -> bool:
 
 
 def _wrap_static(v):
+    if isinstance(v, (types.FunctionType, types.MethodType)):
+        return _FnWrapper(v)
     try:
         hash(v)
         return v
@@ -101,6 +185,8 @@ def _wrap_static(v):
 def _unwrap_static(v):
     if isinstance(v, _HashableWrapper):
         return v.val
+    if isinstance(v, _FnWrapper):
+        return v.fn
     return v
 
 

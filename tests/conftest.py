@@ -53,3 +53,38 @@ def pytest_collection_modifyitems(config, items):
         nodeid = item.nodeid.replace("\\", "/")
         if any(nodeid.startswith(p) for p in prefixes):
             item.add_marker(pytest.mark.smoke)
+
+
+# ---------------------------------------------------------------------------
+# Guard against kernel mmap-budget exhaustion: XLA:CPU maps ~3 anonymous
+# regions per compiled executable and the full suite compiles tens of
+# thousands, so one pytest process crosses the `vm.max_map_count` default
+# (65530) around the 1000-test mark — at which point LLVM's code-buffer
+# mmap fails and the process dies with a SIGSEGV deep inside
+# `backend_compile_and_load` (reproduced: the map count read 65403 on the
+# sample taken seconds before the crash). `jax.clear_caches()` releases
+# the executables (verified: 3850 maps -> 475), so drop the caches
+# whenever the map count crosses a safety threshold. Costs a handful of
+# recompiles per suite run; tests never share compilations across
+# modules anyway.
+# ---------------------------------------------------------------------------
+import gc
+
+_MAPS_FILE = pathlib.Path("/proc/self/maps")
+_MAPS_LIMIT = 40_000
+
+
+def _map_count() -> int:
+    try:
+        with _MAPS_FILE.open("rb") as fh:
+            return sum(1 for _ in fh)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _cap_jit_mappings():
+    yield
+    if _map_count() > _MAPS_LIMIT:
+        jax.clear_caches()
+        gc.collect()

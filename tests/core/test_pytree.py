@@ -108,6 +108,30 @@ class TestClosure:
 
         assert f(4.0) == 6.0
 
+    def test_same_code_closures_share_treedef(self):
+        # Re-executing the same source line mints a fresh function
+        # OBJECT; the treedef must still compare equal (code + closure
+        # cells), or re-traced in-body callees would change a trace's
+        # treedef under edit (see lang tests, TestEditTreedefStability).
+        def mk(c):
+            def f(x):
+                return x + c
+
+            return Closure((), f)
+
+        td = lambda v: jax.tree_util.tree_structure(v)
+        assert td(mk(1.0)) == td(mk(1.0))  # same code, same cell
+        assert td(mk(1.0)) != td(mk(2.0))  # same code, DIFFERENT cell
+        assert hash(td(mk(1.0))) == hash(td(mk(1.0)))
+
+        def mk2(c):
+            def f(x):
+                return x * c
+
+            return Closure((), f)
+
+        assert td(mk(1.0)) != td(mk2(1.0))  # different code
+
 
 def test_nth():
     tree = {"a": jnp.arange(5), "b": jnp.arange(10.0).reshape(5, 2)}

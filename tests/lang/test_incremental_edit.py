@@ -327,6 +327,61 @@ class TestStaticRequestCaptureEdit:
         )
 
 
+class TestEditTreedefStability:
+    """Edits MUST return traces treedef-identical to their input even
+    when the model constructs its callee inside the body (fresh function
+    identity per re-trace): every MH accept/reject select, lax.cond
+    pairing, and scan carry over traces requires it. Pinned after the
+    round-4 regression where fresh-callee dispatch stored a new
+    `mix.<locals>` function identity in the trace and `where_tree` blew
+    up with a treedef mismatch (static fn fields now compare by code +
+    closure cells, `core/pytree.py::_FnWrapper`)."""
+
+    def test_capture_edit_treedef_stable(self):
+        import jax.tree_util as jtu
+
+        from genjax_tpu import Update
+        from genjax_tpu.core.staging import where_tree
+
+        tr = _closure_capture.simulate(jax.random.key(0), (jnp.float32(0.0),))
+        new_tr, _, _, _ = _closure_capture.edit(
+            jax.random.key(1),
+            tr,
+            Update(ChoiceMap.kw(a=4.0)),
+            Diff.no_change(tr.get_args()),
+        )
+        assert jtu.tree_structure(new_tr) == jtu.tree_structure(tr)
+        merged = where_tree(jnp.asarray(True), new_tr, tr)
+        assert jnp.allclose(merged.get_score(), new_tr.get_score())
+
+    def test_inbody_combinator_regenerate_treedef_stable(self):
+        import jax.tree_util as jtu
+
+        from genjax_tpu.core.staging import where_tree
+
+        @g.gen
+        def inner_a(x):
+            return g.normal(x, 1.0) @ "v"
+
+        @g.gen
+        def inner_b(x):
+            return g.normal(x + 2.0, 0.5) @ "v"
+
+        @g.gen
+        def model(x):
+            # the combinator (and its internal local fn) is built inside
+            # the body — fresh function identity on every re-trace
+            v = g.mix(inner_a, inner_b)(jnp.array([0.1, -0.1]), (x,), (x,)) @ "m"
+            return v
+
+        tr = model.simulate(jax.random.key(0), (jnp.float32(0.3),))
+        new_tr, _, _, _ = Regenerate(Selection.at["m"]).edit(
+            jax.random.key(1), tr, Diff.no_change(tr.get_args())
+        )
+        assert jtu.tree_structure(new_tr) == jtu.tree_structure(tr)
+        _ = where_tree(jnp.asarray(False), new_tr, tr)
+
+
 class TestSwitchPathPrecision:
     """When only a Switch site's DATA arguments changed, the per-leaf
     argdiff plan must hand the Switch a NoChange index tangent, keeping
