@@ -177,6 +177,18 @@ class Switch(Generic[R], GenerativeFunction[R]):
             structures = {jtu.tree_structure(b) for b in bwds}
             if len(structures) == 1:
                 bwd_request = tree_choose(new_idx, bwds)
+            elif all(isinstance(b, Update) for b in bwds):
+                # Heterogeneous per-branch discards (e.g. a closure-
+                # capture branch next to a combinator branch) merge
+                # through the choice-map algebra's own Switch node: the
+                # active branch's discard is live, the others masked
+                # out — a REPRESENTABLE backward Update (found by the
+                # offline structural sweep; previously an unsupported
+                # sentinel that crashed the static language's
+                # `assert isinstance(bwd, Update)`).
+                bwd_request = Update(
+                    ChoiceMap.switch(new_idx, [b.constraint for b in bwds])
+                )
             else:
                 bwd_request = UnsupportedBackwardRequest(
                     "Switch branches produced structurally different "

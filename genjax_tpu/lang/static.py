@@ -249,8 +249,15 @@ class UpdateHandler(StaticLangHandler):
         tr, w, retdiff, bwd = gen_fn.edit(
             self.fresh_key(), subtrace, request, argdiffs
         )
-        assert isinstance(bwd, Update)
-        self.bwd_constraints.append(bwd.constraint)
+        if isinstance(bwd, Update):
+            self.bwd_constraints.append(bwd.constraint)
+        else:
+            # The callee could not express its minimal discard as an
+            # Update (e.g. a combinator with an unrepresentable reverse).
+            # Re-constraining the site's old choices wholesale is a
+            # coarser but VALID reverse: scores are state functions, so
+            # the round-trip weight antisymmetry still holds.
+            self.bwd_constraints.append(subtrace.get_choices())
         self.weight += w
         self.record(addr, tr)
         return Diff.tree_primal(retdiff)

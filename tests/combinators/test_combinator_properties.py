@@ -322,3 +322,65 @@ class TestSwitchRuntimeIndexDiff:
         back, w_back, _, _ = sw.edit(ks[2], new_tr, bwd, back_ad)
         assert jnp.allclose(back.get_score(), tr.get_score(), atol=1e-5)
         assert jnp.allclose(w + w_back, 0.0, atol=1e-5)
+
+
+class TestSwitchHeterogeneousBackward:
+    """A NoChange-index Update over branches with structurally DIFFERENT
+    discard shapes (here: a two-site branch vs a one-site branch) must
+    still return a representable backward Update — the per-branch
+    discards merge under a runtime ChoiceMap.switch node (round-4 fix;
+    previously an UnsupportedBackwardRequest sentinel that crashed the
+    static language's backward assembly)."""
+
+    def _sw(self):
+        @g.gen
+        def br0(x):
+            v = g.gamma(2.0, 1.0 + x * x) @ "v"
+            u = g.normal(v, 0.5) @ "u"
+            return u
+
+        @g.gen
+        def br1(x):
+            return g.normal(x, 1.0) @ "v"
+
+        return g.switch(br0, br1)
+
+    def test_nochange_idx_heterogeneous_round_trip(self):
+        sw = self._sw()
+        for idx in (0, 1):
+            ks = jax.random.split(jax.random.key(idx), 4)
+            args = (jnp.int32(idx), (jnp.float32(0.3),), (jnp.float32(0.3),))
+            tr = sw.simulate(ks[0], args)
+            donor = sw.simulate(ks[3], args)
+            new_tr, w, _, bwd = sw.edit(
+                ks[1], tr, Update(donor.get_choices()), Diff.no_change(args)
+            )
+            assert isinstance(bwd, Update)
+            assert jnp.allclose(
+                w, new_tr.get_score() - tr.get_score(), atol=1e-5
+            )
+            back, w_back, _, _ = sw.edit(
+                ks[2], new_tr, bwd, Diff.no_change(args)
+            )
+            assert jnp.allclose(back.get_score(), tr.get_score(), atol=1e-5)
+            assert jnp.allclose(w + w_back, 0.0, atol=1e-5)
+
+    def test_inside_static_model_update(self):
+        # the crash path: backward assembly inside the static language
+        sw = self._sw()
+
+        @g.gen
+        def model(x):
+            b = g.flip(0.5) @ "idx"
+            r = sw(jnp.int32(b), (x,), (x,)) @ "sw"
+            return r
+
+        tr = model.simulate(jax.random.key(0), (jnp.float32(0.2),))
+        donor = model.simulate(jax.random.key(7), (jnp.float32(0.2),))
+        constraint = donor.get_choices().filter(Selection.at["sw"])
+        new_tr, w, _, bwd = model.edit(
+            jax.random.key(1), tr, Update(constraint), Diff.no_change(tr.get_args())
+        )
+        score_true, _ = model.assess(new_tr.get_choices(), tr.get_args())
+        assert jnp.allclose(new_tr.get_score(), score_true, atol=1e-4)
+        assert jnp.allclose(w, score_true - tr.get_score(), atol=1e-4)

@@ -313,8 +313,14 @@ def check_contract(spec, seed: int, x: float, bits: int, which=None):
     if 0 in rotations:
         # (2) generate weight telescopes: the constrained subtrees'
         # score is the weight; everything else was internally proposed.
+        # Project against the CONSTRAINT's own (mask-aware) selection,
+        # not `sel`: a donor whose mask flag was off contributes a
+        # masked-out (invalid) constraint at the selected address, which
+        # generate rightly ignores — `sel` would then count internally
+        # proposed values as constrained (found by the offline depth-3
+        # sweep on mask(capture(...)) structures).
         tr2, w2 = gf.generate(ks[3], constraint, args)
-        internal = tr2.project(ks[4], ~sel)
+        internal = tr2.project(ks[4], ~constraint.get_selection())
         _close(w2, tr2.get_score() - internal, "generate telescoping", spec)
 
     if 1 in rotations:
