@@ -27,6 +27,7 @@ True
 """
 
 from genjax_tpu import adev, inference
+from genjax_tpu.inference import requests, smc, vi
 from genjax_tpu.combinators import *  # noqa: F401,F403
 from genjax_tpu.combinators import __all__ as _cmb_all
 from genjax_tpu.core import *  # noqa: F401,F403
@@ -38,7 +39,13 @@ from genjax_tpu.distributions.discrete_hmm import (
     DiscreteHMMConfiguration,
     forward_filtering_backward_sampling,
 )
-from genjax_tpu.inference.sp import Algorithm, Marginal, Target, marginal
+from genjax_tpu.inference.sp import (
+    Algorithm,
+    Marginal,
+    SampleDistribution,
+    Target,
+    marginal,
+)
 from genjax_tpu.lang import *  # noqa: F401,F403
 from genjax_tpu.lang import __all__ as _lang_all
 from genjax_tpu.utils.pretty import pretty
@@ -55,6 +62,7 @@ __all__ = [  # noqa: PLE0604
     "DiscreteHMM",
     "DiscreteHMMConfiguration",
     "Marginal",
+    "SampleDistribution",
     "Target",
     "adev",
     "forward_filtering_backward_sampling",
@@ -62,8 +70,11 @@ __all__ = [  # noqa: PLE0604
     "marginal",
     "pretty",
     "rec",
+    "requests",
+    "smc",
     "tag",
     "time_machine",
+    "vi",
 ]
 
 # Whole-API validation wrappers (reference beartype parity; ON by

@@ -46,10 +46,12 @@ from genjax_tpu.core.staging import (
     to_shape_fn,
     tree_choose,
 )
+from genjax_tpu.core.typing import R
 
 __all__ = [
     "Address",
     "AddressComponent",
+    "R",
     "Argdiffs",
     "Arguments",
     "ChoiceMap",
