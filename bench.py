@@ -13,6 +13,7 @@ Secondary diagnostics (SSM particle filter, HMC chains) go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -20,11 +21,19 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
-K = 1_000_000
+# BENCH_SMOKE=1: run the ENTIRE flow with tiny shapes on CPU — a
+# functional test of the benchmark program itself (JSON contract, every
+# diagnostic's code path), not a measurement. tests/test_bench_smoke.py
+# runs this in CI so a broken bench.py can't reach the round artifact.
+SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0")
+
+K = 20_000 if SMOKE else 1_000_000
 # Sweeps scanned inside ONE jit per timed call: large enough that the
 # ~25 ms tunnel round trip (subtracted as `t_floor_sir`, but noisy) is
 # <2% of the device time being measured.
-ITERS = 50
+ITERS = 5 if SMOKE else 50
+# Interleaved paired trials for the headline legs (best-of; see main()).
+HEADLINE_TRIALS = 2 if SMOKE else 5
 
 
 def log(*args):
@@ -49,6 +58,22 @@ def timeit(fn, *args, iters=ITERS):
         out = fn(*args)
         _force(out)
     return (time.perf_counter() - t0) / iters
+
+
+def run_diagnostic(name, fn, skips):
+    """Run one diagnostic with a single retry (the tunnel drops
+    connections mid-benchmark — r4 lost a NUTS row to one transport
+    error) and record failures machine-readably instead of silently
+    dropping the row."""
+    last = None
+    for attempt in (1, 2):
+        try:
+            return fn()
+        except Exception as e:  # pragma: no cover
+            last = f"{type(e).__name__}: {e}"
+            log(f"{name} diagnostic failed (attempt {attempt}/2): {last}")
+    skips[name] = last
+    return None
 
 
 def framework_sir():
@@ -144,13 +169,24 @@ def _wait_for_device(max_wait_s: float = 1200.0, probe_timeout_s: float = 90.0):
 
 
 def main():
-    _wait_for_device()
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+        log("BENCH_SMOKE: tiny shapes on CPU — numbers are meaningless")
+    else:
+        _wait_for_device()
     key = jax.random.key(0)
     backend = jax.default_backend()
     log(f"backend: {backend}, device: {jax.devices()[0]}")
 
     fw = framework_sir()
     hw = handwritten_sir()
+    hw_fast = None
+    try:
+        from genjax_tpu.distributions.library import _beta_sample
+
+        hw_fast = handwritten_sir(lambda kk: _beta_sample(kk, 2.0, 2.0))
+    except Exception as e:  # pragma: no cover
+        log("sampler-split setup failed:", e)
     iter_keys = jax.random.split(key, ITERS)
 
     # Host-sync floor (tunnel round trip per python-level call). Every
@@ -162,10 +198,52 @@ def main():
     def _tiny_sir(x):
         return jnp.sum(x)
 
-    t_floor_sir = timeit(_tiny_sir, jnp.arange(8.0), iters=5)
+    def _floor_min(n=5):
+        """Fastest observed host-sync round trip (min over n calls)."""
+        x8 = jnp.arange(8.0)
+        _force(_tiny_sir(x8))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _force(_tiny_sir(x8))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-    t_fw = max(timeit(fw, iter_keys, iters=3) - t_floor_sir, 1e-9) / ITERS
-    t_hw = max(timeit(hw, iter_keys, iters=3) - t_floor_sir, 1e-9) / ITERS
+    # Headline timing: INTERLEAVED paired best-of-N trials (one call =
+    # ITERS in-jit sweeps per trial), the same discipline the roofline
+    # probes use. The r4 artifact showed why mean-of-3 per leg is not
+    # enough: the tunnel's call-to-call variance (documented ±20%, with
+    # occasional multi-ms stalls) landed the committed headline 17%
+    # under r3 and gfi_overhead at 1.41x against a 0.89–1.0x documented
+    # band. Interleaving makes a stall hit all legs in the same trial;
+    # best-of takes each leg's demonstrated speed; min-floor subtraction
+    # matches the min-call numerator.
+    legs = {"fw": fw, "hw": hw}
+    if hw_fast is not None:
+        legs["hwf"] = hw_fast
+    for fn_ in legs.values():
+        _force(fn_(iter_keys))  # compile + warm every leg first
+    floor_samples = [_floor_min()]
+    samples = {name: [] for name in legs}
+    for _ in range(HEADLINE_TRIALS):
+        for name, fn_ in legs.items():
+            t0 = time.perf_counter()
+            _force(fn_(iter_keys))
+            samples[name].append(time.perf_counter() - t0)
+        floor_samples.append(_floor_min(n=2))
+    t_floor_sir = min(floor_samples)
+    t_leg = {
+        name: max(min(ts) - t_floor_sir, 1e-9) / ITERS
+        for name, ts in samples.items()
+    }
+    for name, ts in samples.items():
+        spread = (max(ts) - min(ts)) / min(ts) * 100
+        log(
+            f"headline leg {name}: best {min(ts)*1e3:.1f} ms / call, "
+            f"worst {max(ts)*1e3:.1f} ms (spread {spread:.0f}% over "
+            f"{HEADLINE_TRIALS} interleaved trials)"
+        )
+    t_fw, t_hw = t_leg["fw"], t_leg["hw"]
     pps_fw = K / t_fw
     pps_hw = K / t_hw
     log(f"framework SIR @1M:   {t_fw*1e3:.2f} ms/iter = {pps_fw/1e6:.1f}M particles/s")
@@ -175,11 +253,8 @@ def main():
     # are carried into the stdout JSON so the headline `vs_baseline`
     # (their product) cannot be misread as framework overhead.
     gfi_overhead = sampler_speedup = None
-    try:
-        from genjax_tpu.distributions.library import _beta_sample
-
-        hw_fast = handwritten_sir(lambda kk: _beta_sample(kk, 2.0, 2.0))
-        t_hwf = max(timeit(hw_fast, iter_keys, iters=3) - t_floor_sir, 1e-9) / ITERS
+    if "hwf" in t_leg:
+        t_hwf = t_leg["hwf"]
         gfi_overhead = t_fw / t_hwf
         sampler_speedup = t_hw / t_hwf
         log(
@@ -187,13 +262,17 @@ def main():
             f"(GFI overhead = {gfi_overhead:.3f}x; sampler speedup = "
             f"{sampler_speedup:.1f}x)"
         )
-    except Exception as e:  # pragma: no cover
-        log("sampler-split diagnostic failed:", e)
+
+    # Diagnostics: each runs with one retry (tunnel transport errors) and
+    # failures land in `skips` → the stdout JSON, never silently dropped.
+    skips: dict = {}
+    json_extra: dict = {}
+    t_floor = t_floor_sir
 
     # Roofline: framework log-density throughput vs the device's measured
     # achievable HBM bandwidth (spec sheets overstate what this tunneled
     # part delivers; the copy-chain probe measures reality).
-    try:
+    def _roofline():
         import genjax_tpu as g
         from genjax_tpu import ChoiceMap
 
@@ -201,16 +280,9 @@ def main():
         # ~25-30 ms tunnel floor being subtracted (at NN=200 the whole
         # call was ~34 ms and one slow floor sample could swallow it,
         # yielding nonsense GB/s).
-        D, KD, NN = 32, 1_000_000, 1000
+        D, KD, NN = 32, (50_000 if SMOKE else 1_000_000), (20 if SMOKE else 1000)
         ws = jax.random.normal(jax.random.key(9), (KD, D))
         scales = jnp.ones(NN)
-
-        # host-sync floor (tunnel round trip) to subtract from one-shot timings
-        @jax.jit
-        def _tiny(x):
-            return jnp.sum(x)
-
-        t_floor = timeit(_tiny, jnp.arange(8.0), iters=5)
 
         @g.gen
         def dense_model():
@@ -288,8 +360,8 @@ def main():
                 f"{(frac - 1) * 100:.0f}% — beyond timing noise; check the "
                 f"traffic accounting if this persists."
             )
-    except Exception as e:  # pragma: no cover
-        log("roofline diagnostic failed:", e)
+
+    run_diagnostic("roofline", _roofline, skips)
 
     # Compute-side roof: achievable bf16 MXU rate on INDEPENDENT 4096^3
     # matmuls (a 64-matrix pool cycled 4x = 256 matmuls per timed call,
@@ -301,16 +373,11 @@ def main():
     # small-signal probes (the "40 TFLOP/s" of r2/r3 notes) were
     # floor-noise artifacts. This probe is the denominator for every MFU
     # fraction reported below.
-    compute_roof_tflops = None
-    try:
-        NMM, POOL, CYCLES = 4096, 64, 4
+    def _matmul_probe():
+        NMM, POOL, CYCLES = (256, 4, 2) if SMOKE else (4096, 64, 4)
         MM_REPS = POOL * CYCLES
 
-        @jax.jit
-        def _tiny3(x):
-            return jnp.sum(x)
-
-        t_floor_mm = timeit(_tiny3, jnp.arange(8.0), iters=5)
+        t_floor_mm = _floor_min()
         ka, kb = jax.random.split(jax.random.key(21))
         b_mm = (0.02 * jax.random.normal(kb, (NMM, NMM))).astype(jnp.bfloat16)
         xs_mm = (0.02 * jax.random.normal(ka, (POOL, NMM, NMM))).astype(
@@ -335,10 +402,10 @@ def main():
         t_mm = max(
             timeit(mm_indep, xs_mm, b_mm, iters=3) - t_floor_mm, 1e-9
         ) / MM_REPS
-        compute_roof_tflops = 2 * NMM**3 / t_mm / 1e12
+        roof = 2 * NMM**3 / t_mm / 1e12
         log(
             f"bf16 matmul probe ({NMM}^3 x{MM_REPS} independent): "
-            f"{t_mm*1e3:.3f} ms/matmul = {compute_roof_tflops:.1f} TFLOP/s "
+            f"{t_mm*1e3:.3f} ms/matmul = {roof:.1f} TFLOP/s "
             f"(measured MXU roof)"
         )
         del xs_mm  # free the 2.1 GB pool before the workload sections
@@ -363,24 +430,28 @@ def main():
             f"= {2 * NMM**3 / t_ch / 1e12:.1f} TFLOP/s (pipeline-stalled — "
             f"sequential-dependence diagnostic, not the roof)"
         )
-    except Exception as e:  # pragma: no cover
-        log("matmul probe failed:", e)
+        return roof
 
-    # Secondary diagnostics (stderr only).
-    try:
+    compute_roof_tflops = run_diagnostic("matmul_probe", _matmul_probe, skips)
+
+    # BASELINE config #3: nonlinear-SSM bootstrap particle filter.
+    def _pf():
         from genjax_tpu.models.ssm import run_bootstrap_filter, simulate_ssm_data
 
-        @jax.jit
-        def _tiny2(x):
-            return jnp.sum(x)
-
-        t_floor = timeit(_tiny2, jnp.arange(8.0), iters=5)
         _, ys = simulate_ssm_data(jax.random.key(1), 50)
         # BASELINE config #3 at both 10k and 1M particles. Runs batch
         # inside one jit (scan over keys) with the tunnel round-trip floor
         # subtracted — a per-call timing at 10k particles measures the
         # ~25 ms tunnel, not the ~8 ms filter.
-        for K_pf, reps in ((10_000, 25), (1_000_000, 3)):
+        fields = {}
+        pf_configs = (
+            ((1_000, 3, "pf_particle_steps_per_s"),
+             (10_000, 2, "pf_particle_steps_per_s_1m"))
+            if SMOKE
+            else ((10_000, 25, "pf_particle_steps_per_s"),
+                  (1_000_000, 3, "pf_particle_steps_per_s_1m"))
+        )
+        for K_pf, reps, field in pf_configs:
             @jax.jit
             def pf_batch(keys, K_pf=K_pf):
                 return jax.lax.scan(
@@ -394,14 +465,16 @@ def main():
 
             pf_keys = jax.random.split(jax.random.key(2), reps)
             t_pf = max(timeit(pf_batch, pf_keys, iters=3) - t_floor, 1e-9) / reps
+            fields[field] = round(50 * K_pf / t_pf, 1)
             log(
                 f"SSM bootstrap PF (T=50, K={K_pf}, systematic): "
                 f"{t_pf*1e3:.2f} ms = {50*K_pf/t_pf/1e6:.1f}M particle-steps/s"
             )
-    except Exception as e:  # pragma: no cover
-        log("PF diagnostic failed:", e)
+        return fields
 
-    try:
+    json_extra.update(run_diagnostic("pf", _pf, skips) or {})
+
+    def _smc_1m():
         # Full SMC round (init + psum LML + systematic resample +
         # regenerate-rejuvenation) at 1M particles on the device mesh.
         import genjax_tpu as g
@@ -414,37 +487,54 @@ def main():
             y = g.normal(x, 1.0) @ "y"
             return y
 
+        K_smc = 10_000 if SMOKE else 1_000_000
         mesh = particle_mesh()
-        smc = ShardedSMC(n_particles=1_000_000, mesh=mesh, ess_threshold=2.0)
+        smc = ShardedSMC(n_particles=K_smc, mesh=mesh, ess_threshold=2.0)
         tgt = Target(conj, (), ChoiceMap.kw(y=1.0))
 
         def smc_round(key):
             col = smc.init(key, tgt)
             lml = smc.lml(col)
+            ess0 = smc.ess(col)  # importance-weight ESS this round produced
             col = smc.maybe_resample(jax.random.fold_in(key, 1), col)
             col = smc.rejuvenate(
                 jax.random.fold_in(key, 2), col, Regenerate(Selection.at["x"])
             )
-            return lml, jnp.mean(col.get_particles().get_choices()["x"])
+            return lml, ess0, jnp.mean(col.get_particles().get_choices()["x"])
 
-        reps_smc = 20  # ~4.6 ms/round: keep per-rep floor noise <2%
+        reps_smc = 3 if SMOKE else 20  # ~4.6 ms/round: per-rep floor noise <2%
 
         @jax.jit
         def smc_batch(keys):
             return jax.lax.scan(lambda c, k: (c, smc_round(k)), None, keys)[1]
 
         smc_keys = jax.random.split(jax.random.key(5), reps_smc)
+        _, ess_vals, _ = smc_batch(smc_keys)
         t_smc = (
             max(timeit(smc_batch, smc_keys, iters=3) - t_floor, 1e-9) / reps_smc
         )
-        log(
-            f"SMC full round @1M particles (init+LML+resample+rejuvenate): "
-            f"{t_smc*1e3:.1f} ms = {1_000_000/t_smc/1e6:.1f}M particle-rounds/s"
-        )
-    except Exception as e:  # pragma: no cover
-        log("SMC@1M diagnostic failed:", e)
+        import numpy as _np
 
-    try:
+        # BASELINE metric "ESS per wallclock sec": the effective sample
+        # size the 1M-particle round's importance weights carry, per
+        # second of wallclock for the full round (init + LML + resample +
+        # rejuvenate) — i.e. effective posterior samples produced per
+        # second, the honest quality-adjusted throughput.
+        ess_mean = float(_np.mean(_np.asarray(ess_vals)))
+        ess_per_s = ess_mean / t_smc
+        log(
+            f"SMC full round @{K_smc} particles (init+LML+resample+rejuvenate): "
+            f"{t_smc*1e3:.1f} ms = {K_smc/t_smc/1e6:.1f}M particle-rounds/s; "
+            f"ESS {ess_mean/1e3:.0f}k/round = {ess_per_s/1e6:.1f}M ESS/s"
+        )
+        return {
+            "ess_per_s": round(ess_per_s, 1),
+            "smc_round_particles_per_s": round(K_smc / t_smc, 1),
+        }
+
+    json_extra.update(run_diagnostic("smc_1m", _smc_1m, skips) or {})
+
+    def _polyreg():
         # BASELINE config #2: Bayesian polynomial regression — importance
         # sampling + MALA rejuvenation.
         from genjax_tpu.models.polyreg import run_is_mh
@@ -455,13 +545,14 @@ def main():
         ys = design @ true_coeffs + 0.3 * jax.random.normal(
             jax.random.key(11), xs.shape
         )
-        reps2 = 50
+        reps2 = 3 if SMOKE else 50
+        K_pr = 512 if SMOKE else 8192
 
         @jax.jit
         def polyreg_batch(keys):
             def one(c, k):
                 lml, coeffs = run_is_mh(
-                    k, xs, ys, n_particles=8192, n_rejuvenation=20
+                    k, xs, ys, n_particles=K_pr, n_rejuvenation=20
                 )
                 # Consume the rejuvenated coefficients too — otherwise XLA
                 # dead-code-eliminates the entire MALA phase.
@@ -471,27 +562,28 @@ def main():
 
         pk = jax.random.split(jax.random.key(12), reps2)
         t_pr = max(timeit(polyreg_batch, pk, iters=3) - t_floor, 1e-9) / reps2
-        sweeps = 8192 * 20
+        sweeps = K_pr * 20
         log(
             f"polyreg IS(8192)+MALA x20 rejuvenation: {t_pr*1e3:.1f} ms = "
             f"{sweeps/t_pr/1e6:.2f}M rejuvenation-moves/s"
         )
-    except Exception as e:  # pragma: no cover
-        log("polyreg diagnostic failed:", e)
 
-    try:
+    run_diagnostic("polyreg", _polyreg, skips)
+
+    def _ravi():
         # BASELINE config #5 (stretch): ADEV-trained guide + nested SMC at
         # 1M particles (RAVI). Training runs once (host loop); the timed
         # part is the guided 1M-particle LML estimate.
         from genjax_tpu.models.ravi import nested_smc_lml, train_guide
 
-        params = train_guide(jax.random.key(13), n_steps=150)
-        reps5 = 20
+        params = train_guide(jax.random.key(13), n_steps=5 if SMOKE else 150)
+        reps5 = 2 if SMOKE else 20
+        K_rv = 10_000 if SMOKE else 1_000_000
 
         @jax.jit
         def ravi_batch(keys):
             return jax.lax.scan(
-                lambda c, k: (c, nested_smc_lml(k, params, 1_000_000)),
+                lambda c, k: (c, nested_smc_lml(k, params, K_rv)),
                 None,
                 keys,
             )[1]
@@ -507,20 +599,26 @@ def main():
             f"RAVI nested SMC @1M (ADEV-trained guide): {t_rv*1e3:.1f} ms/estimate "
             f"= {1_000_000/t_rv/1e6:.0f}M particles/s; |LML err| <= {err:.1e}"
         )
-    except Exception as e:  # pragma: no cover
-        log("RAVI diagnostic failed:", e)
 
-    try:
-        from genjax_tpu.models.logreg import run_hmc_chains, simulate_logreg_data
+    run_diagnostic("ravi", _ravi, skips)
+
+    def _logreg_data():
+        from genjax_tpu.models.logreg import simulate_logreg_data
 
         X, yo, _ = simulate_logreg_data(jax.random.key(3), 256, 16)
+        return X, yo
+
+    def _hmc():
+        from genjax_tpu.models.logreg import run_hmc_chains
+
+        X, yo = _logreg_data()
         # 50 in-jit reps: at ~1.5 ms/rep, 5 reps left the per-rep number
         # floor-noise dominated (the ~25-30 ms tunnel floor jitters by
         # +-2-4 ms between calls; /5 is +-0.5-0.8 ms on a 1.5 ms signal —
         # one r3 run misreported 0.38 ms/2.9x from exactly this).
-        reps_h = 50
+        reps_h = 2 if SMOKE else 50
         # ONE config for both sides of the parity ratio.
-        eps_h, L_h, S_h, C_h = 0.02, 5, 10, 8192
+        eps_h, L_h, S_h, C_h = 0.02, 5, 10, (64 if SMOKE else 8192)
 
         @jax.jit
         def hmc_batch(keys):
@@ -603,17 +701,22 @@ def main():
             f"handwritten HMC same config: {t_hwh*1e3:.2f} ms "
             f"(framework = {t_hwh/t_hmc:.2f}x of hand-written)"
         )
-    except Exception as e:  # pragma: no cover
-        log("HMC diagnostic failed:", e)
+        return {
+            "hmc_chain_steps_per_s": round(steps_per_s, 1),
+            "hmc_vs_handwritten": round(t_hmc / t_hwh, 4),
+        }
+
+    json_extra.update(run_diagnostic("hmc", _hmc, skips) or {})
 
     # NUTS vs HMC: the fixed-schedule NUTS draw costs 2**max_depth - 1
     # gradient evals; this quantifies that padding trade against HMC's
     # L+1 on the same target (VERDICT r3 item 5).
-    try:
+    def _nuts():
         from genjax_tpu.models.logreg import run_nuts_chains
 
-        C_n, S_n = 8192, 10
-        for md, reps_n in ((6, 10), (8, 3)):
+        X, yo = _logreg_data()
+        C_n, S_n = (32, 2) if SMOKE else (8192, 10)
+        for md, reps_n in (((4, 1),) if SMOKE else ((6, 10), (8, 3))):
 
             @jax.jit
             def nuts_batch(keys, md=md):
@@ -643,25 +746,27 @@ def main():
                 f"{steps_s/1e6:.2f}M chain-steps/s, "
                 f"{steps_s*grads_per_draw/1e9:.2f}B grad-evals/s"
             )
-    except Exception as e:  # pragma: no cover
-        log("NUTS diagnostic failed:", e)
+
+    run_diagnostic("nuts", _nuts, skips)
 
     # SVGD: the N x N Stein interaction — one fused kernel contraction
     # per step. Reported with an MFU fraction against the measured bf16
     # matmul roof AND a bandwidth-side traffic model, so whichever roof
     # binds is explicit (VERDICT r3 item 1).
-    svgd_tflops = svgd_fraction = None
-    svgd_d128_tflops = svgd_d128_fraction = None
-    try:
+    def _svgd():
         from genjax_tpu.inference.svgd import svgd
         from genjax_tpu.models.logreg import logistic_regression, simulate_logreg_data
 
         import genjax_tpu as gxx
 
+        fields = {}
+
         # 2000 in-jit steps: at ~0.03 ms/step the older S=100 gave a
         # ~3 ms signal against a ±3-5 ms tunnel-floor jitter — the same
         # small-signal trap the matmul probe fell into.
-        N_sv, D_sv, S_sv, ND_sv = 4096, 16, 2000, 256
+        N_sv, D_sv, S_sv, ND_sv = (
+            (128, 16, 20, 64) if SMOKE else (4096, 16, 2000, 256)
+        )
         Xs, ysv, _ = simulate_logreg_data(jax.random.key(5), ND_sv, D_sv)
 
         def make_svgd(kd):
@@ -720,8 +825,9 @@ def main():
                 f"(measuring below it = the VMEM kernel fusion landed)"
             )
             if kd_name == "bf16":
-                svgd_tflops = round(tfl, 2)
-                svgd_fraction = round(frac, 4) if frac == frac else None
+                fields["svgd_tflops"] = round(tfl, 2)
+                if frac == frac:
+                    fields["svgd_fraction"] = round(frac, 4)
 
         # Lane-filling variant: at D=16 the MXU pads the kernel-matrix
         # contraction 8x (16 -> 128 lanes) and the fused-output columns
@@ -763,12 +869,12 @@ def main():
             f"lane-filling): {per_big*1e3:.3f} ms/step = {tfl_big:.1f} TFLOP/s "
             f"= {frac_big*100:.0f}% of matmul roof"
         )
-        svgd_d128_tflops = round(tfl_big, 1)
-        svgd_d128_fraction = (
-            round(frac_big, 4) if frac_big == frac_big else None
-        )
-    except Exception as e:  # pragma: no cover
-        log("SVGD diagnostic failed:", e)
+        fields["svgd_d128_tflops"] = round(tfl_big, 1)
+        if frac_big == frac_big:
+            fields["svgd_d128_fraction"] = round(frac_big, 4)
+        return fields
+
+    json_extra.update(run_diagnostic("svgd", _svgd, skips) or {})
 
     out = {
         "metric": "SIR particles/sec/chip at K=1M",
@@ -783,14 +889,9 @@ def main():
         out["sampler_speedup"] = round(sampler_speedup, 4)
     if compute_roof_tflops is not None:
         out["compute_roof_tflops"] = round(compute_roof_tflops, 2)
-    if svgd_tflops is not None:
-        out["svgd_tflops"] = svgd_tflops
-        if svgd_fraction is not None:
-            out["svgd_fraction"] = svgd_fraction
-    if svgd_d128_tflops is not None:
-        out["svgd_d128_tflops"] = svgd_d128_tflops
-        if svgd_d128_fraction is not None:
-            out["svgd_d128_fraction"] = svgd_d128_fraction
+    out.update(json_extra)
+    if skips:
+        out["skipped"] = skips
     print(json.dumps(out))
 
 
