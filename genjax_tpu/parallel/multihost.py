@@ -20,10 +20,13 @@ pool across islands without bias via `pooled_lml`.
 
 Single-process fallbacks keep every code path exercisable on one host
 (and on the CI virtual-device mesh): `hybrid_mesh` degrades to a reshaped
-local mesh with identical axis semantics.
+local mesh with identical axis semantics. The multi-process branches are
+executed in CI by a real 2-process cluster
+(`tests/parallel/test_multiprocess.py`: `jax.distributed.initialize`
+over a localhost coordinator, 4 virtual CPU devices per process) and the
+island-SMC numbers are certified there against both the conjugate oracle
+and a bit-level single-process same-PRNG run.
 """
-
-import warnings
 
 import jax
 import jax.numpy as jnp
@@ -31,20 +34,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from genjax_tpu.core.typing import FloatArray
-
-
-def _warn_multiprocess_untested(where: str) -> None:
-    """One-time, call-time warning on the branches only a real multi-
-    process launch reaches. This container has no multi-process CI: the
-    single-process paths and the 8-device virtual mesh are tested, these
-    branches are reviewed but UNVERIFIED on a pod (see PARITY.md)."""
-    warnings.warn(
-        f"{where}: executing the multi-process path, which has no "
-        "multi-process test coverage in this build (single-process and "
-        "virtual-mesh paths are tested). Validate numerics on your pod "
-        "before trusting results.",
-        stacklevel=3,
-    )
 
 
 def initialize_multihost(
@@ -105,7 +94,6 @@ def hybrid_mesh(
     """
     n = len(jax.devices())
     if jax.process_count() > 1:
-        _warn_multiprocess_untested("hybrid_mesh")
         from jax.experimental import mesh_utils
 
         # Shapes for create_hybrid_device_mesh are PER-GRANULE (ICI) and
@@ -137,10 +125,17 @@ def hybrid_mesh(
                 f"{n} devices in {granules} granules (expected "
                 f"{derived_particles})."
             )
+        # Multi-slice TPU pods expose one `slice_index` per DCN granule;
+        # CPU/GPU clusters (including the 2-process CPU integration test)
+        # report none — or one shared value — so there the process IS the
+        # DCN granule.
+        slice_ids = {getattr(d, "slice_index", None) for d in jax.devices()}
+        process_is_granule = None in slice_ids or len(slice_ids) != granules
         devices = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(islands_per_granule, derived_particles),
             dcn_mesh_shape=(granules, 1),
             devices=jax.devices(),
+            process_is_granule=process_is_granule,
         )
         return Mesh(devices, (island_axis, particle_axis))
     if island_devices is None:
@@ -227,7 +222,6 @@ def global_from_process_local(tree, mesh: Mesh, spec: P):
     def place(local):
         if jax.process_count() == 1:
             return jax.device_put(local, sharding)
-        _warn_multiprocess_untested("global_from_process_local")
         global_rows = local.shape[0] * jax.process_count()
         global_shape = (global_rows,) + tuple(local.shape[1:])
         return jax.make_array_from_process_local_data(
