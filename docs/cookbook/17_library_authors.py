@@ -135,6 +135,75 @@ def main():
     # For *estimated* densities — marginals, algorithms — implement the
     # stochastic probability interface instead: cookbook 12.)
 
+    # --- custom handlers: extending the language itself ----------------------
+    # Reference GenJAX's extension point for new *execution semantics* is
+    # subclassing `StatefulHandler` and intercepting the `trace_p`
+    # primitive while a jaxpr interpreter re-walks the staged program
+    # (reference `_src/core/compiler/interpreters/stateful.py:32`,
+    # `_src/generative_functions/static.py:156`). This build has no
+    # `trace_p` and no jaxpr walking: `dist(args) @ "addr"` dispatches to
+    # the innermost `TraceHandler` on a dynamically-scoped stack at
+    # Python trace time (`lang/interop.py`), so a new language feature is
+    # a ~15-line handler — and the staged XLA program is exactly what the
+    # handler's Python executed, with zero interception machinery left in
+    # the compiled code.
+    #
+    # Worked example: `intervene`, Pearl's do-operator. Run a model with
+    # chosen addresses CLAMPED to given values — causal surgery: the
+    # clamped sites contribute no randomness and no density; downstream
+    # sites see the forced values.
+    from genjax_tpu.lang.interop import TraceHandler, handler_context
+
+    class DoHandler(TraceHandler):
+        """Clamp `interventions` addresses; sample everything else
+        forward (per-site keys via counter fold-in, the same PRNG
+        discipline as the built-in handlers)."""
+
+        def __init__(self, key, interventions):
+            self.key = key
+            self.count = 0
+            self.interventions = interventions
+            self.values = {}
+
+        def handle_trace(self, addr, gen_fn, args):
+            if addr in self.interventions:
+                v = self.interventions[addr]
+            else:
+                self.count += 1
+                site_key = jax.random.fold_in(self.key, self.count)
+                v = gen_fn.simulate(site_key, args).get_retval()
+            self.values[addr] = v
+            return v
+
+    def intervene(model, interventions):
+        """`do(X=x)`: run `model` with `interventions` clamped."""
+
+        def run(key, args):
+            handler = DoHandler(key, interventions)
+            with handler_context(handler):
+                retval = model.source(*args)
+            return retval, handler.values
+
+        return run
+
+    @gen
+    def chain_model():
+        x = normal(0.0, 1.0) @ "x"
+        y = normal(2.0 * x, 0.1) @ "y"
+        z = normal(y, 0.1) @ "z"
+        return z
+
+    do_y = intervene(chain_model, {"y": jnp.asarray(10.0)})
+    z_val, sites = do_y(key, ())
+    # Downstream of the intervention follows the clamped value (z ~
+    # N(10, 0.1) regardless of x)...
+    assert abs(float(z_val) - 10.0) < 1.0
+    assert float(sites["y"]) == 10.0
+    # ...and the handler costs nothing at runtime: the whole intervened
+    # program jits (handlers execute during tracing only).
+    z_jit, _ = jax.jit(do_y)(key, ())
+    assert abs(float(z_jit) - 10.0) < 1.0
+
     print("library-author cookbook: all checks passed")
 
 

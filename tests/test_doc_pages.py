@@ -1,21 +1,26 @@
 """Executable documentation, part 2: every ```python block in
-docs/library/*.md runs (parity with the reference's mkdocs
-`exec="yes"` code blocks, which its docs CI executes)."""
+docs/library/*.md — and in MIGRATION.md, which documents migration
+recipes (e.g. the StatefulHandler -> TraceHandler port) — runs (parity
+with the reference's mkdocs `exec="yes"` code blocks, which its docs CI
+executes)."""
 
 import pathlib
 import re
+import textwrap
 
 import pytest
 
-PAGES = sorted(
-    (pathlib.Path(__file__).parents[1] / "docs" / "library").glob("*.md")
-)
+_ROOT = pathlib.Path(__file__).parents[1]
+PAGES = sorted((_ROOT / "docs" / "library").glob("*.md")) + [
+    _ROOT / "MIGRATION.md"
+]
 
 _BLOCK = re.compile(r"```python\n(.*?)```", re.DOTALL)
 
 
 def _blocks(page: pathlib.Path):
-    return _BLOCK.findall(page.read_text())
+    # Markdown list items indent their code fences; dedent before exec.
+    return [textwrap.dedent(b) for b in _BLOCK.findall(page.read_text())]
 
 
 @pytest.mark.parametrize("page", PAGES, ids=lambda p: p.stem)
