@@ -872,6 +872,64 @@ def main():
         fields["svgd_d128_tflops"] = round(tfl_big, 1)
         if frac_big == frac_big:
             fields["svgd_d128_fraction"] = round(frac_big, 4)
+
+        # Lane-PACKED variant at effective D=16: C=8 independent D=16
+        # logreg posteriors transported in one joint SVGD (product
+        # target, inference/svgd.py::packed_svgd) so the kernel
+        # contractions see C*D = 128 lanes — the useful-work answer to
+        # the structural ~1/6-roof cap the single-problem D=16 row
+        # documents. FLOPs counted are the USEFUL ones (all C problems'
+        # transport + grads).
+        from genjax_tpu.inference.svgd import packed_svgd
+
+        C_pk = 2 if SMOKE else 8
+        pk_data = [
+            simulate_logreg_data(jax.random.key(100 + c), ND_sv, D_sv)
+            for c in range(C_pk)
+        ]
+
+        @jax.jit
+        def svgd_packed(key):
+            trs, phi = packed_svgd(
+                key,
+                logistic_regression,
+                [(Xc,) for Xc, _, _ in pk_data],
+                [gxx.ChoiceMap.kw(ys=yc) for _, yc, _ in pk_data],
+                gxx.Selection.at["w"],
+                n_particles=N_sv,
+                n_steps=S_sv,
+                step_size=0.05,
+                kernel_dtype=jnp.bfloat16,
+            )
+            return (
+                jnp.stack([t.get_choices()["w"].mean() for t in trs]),
+                phi[-1],
+            )
+
+        t_pk = max(
+            timeit(svgd_packed, jax.random.key(9), iters=3) - t_floor, 1e-9
+        )
+        per_pk = t_pk / S_sv
+        CD = C_pk * D_sv
+        flops_pk = (
+            2 * N_sv**2 * CD
+            + 2 * N_sv**2 * (2 * CD + 1)
+            + C_pk * 3 * 2 * N_sv * D_sv * ND_sv
+        )
+        tfl_pk = flops_pk / per_pk / 1e12
+        frac_pk = (
+            tfl_pk / compute_roof_tflops if compute_roof_tflops else float("nan")
+        )
+        log(
+            f"SVGD[bf16] PACKED {C_pk} x (D={D_sv}) problems, {N_sv} x "
+            f"{S_sv} steps (logreg N={ND_sv}): {per_pk*1e3:.3f} ms/step = "
+            f"{tfl_pk:.1f} TFLOP/s = {frac_pk*100:.0f}% of matmul roof "
+            f"({C_pk * N_sv / per_pk / 1e6:.1f}M problem-particle-updates/s; "
+            f"single-problem D={D_sv} row above is the unpacked baseline)"
+        )
+        fields["svgd_packed_tflops"] = round(tfl_pk, 1)
+        if frac_pk == frac_pk:
+            fields["svgd_packed_fraction"] = round(frac_pk, 4)
         return fields
 
     json_extra.update(run_diagnostic("svgd", _svgd, skips) or {})

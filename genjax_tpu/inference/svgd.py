@@ -308,4 +308,175 @@ def svgd(
     return new_traces, outs
 
 
-__all__ = ["rbf_kernel", "stein_direction", "stein_phi_block", "svgd"]
+def packed_svgd(
+    key: PRNGKey,
+    model: GenerativeFunction[Any],
+    args_list: list,
+    observations_list: list,
+    selection: Selection,
+    n_particles: int,
+    n_steps: int,
+    step_size: float = 0.1,
+    bandwidth: float | None = None,
+    optimizer: Any = None,
+    collect: Callable[[jax.Array], Any] | None = None,
+    kernel_dtype=None,
+) -> tuple[list, Any]:
+    """Transport C independent small-D inference problems in ONE joint
+    SVGD — the lane-packing variant for TPU.
+
+    Why: at small particle dimension D (e.g. 16) the MXU pads both Stein
+    matmuls to its 128-lane granularity — the distance contraction's
+    D-deep reduction 8x and the fused `[grads | x | 1]` output columns
+    ~4x — so single-problem SVGD is structurally capped near 1/6 of the
+    matmul roof no matter how fast the kernel is (PERFORMANCE.md, SVGD
+    section). Packing C problems feature-wise (`x_joint` is
+    `(n, sum_c D_c)`) fills those lanes with OTHER PROBLEMS' useful work:
+    at C*D = 128 both contractions run unpadded, and C posteriors come
+    out for roughly the padded price of one.
+
+    What it computes: SVGD targeting the PRODUCT density
+    `prod_c p_c(x_c | obs_c)` with a joint RBF kernel on the packed
+    vector. Particle i carries one coupled replicate of every problem;
+    problems interact only through the scalar kernel weights (the joint
+    kernel factorizes no further), so this is *not* bit-identical to C
+    separate runs — it is a valid SVGD whose stationary point is the
+    product target, and each problem's marginal is its own posterior.
+    For C = 1 the joint kernel reduces to the plain RBF kernel and the
+    PRNG stream matches, so the packed driver IS `svgd` bit-for-bit
+    (asserted in tests/inference/test_svgd.py); per-problem marginal
+    moments are certified against conjugate oracles in the same tests.
+    Use it when you have many *same-shaped small-D* problems —
+    cross-validation folds, per-group fits, independent replicates — and
+    want them at matmul-roof throughput; use `svgd` for one problem.
+
+    `args_list` / `observations_list`: per-problem model args tuples and
+    observation choice maps (length C). The selection must be continuous
+    for every problem (same rule as `svgd`). Returns
+    `(traces_per_problem, per_step_diagnostics)` where
+    `traces_per_problem[c]` is a standard shared-args trace batch.
+
+    >>> import jax, jax.numpy as jnp
+    >>> import genjax_tpu as gx
+    >>> from genjax_tpu.inference.svgd import packed_svgd
+    >>> @gx.gen
+    ... def model():
+    ...     mu = gx.normal(0.0, 1.0) @ "mu"
+    ...     _ = gx.normal(mu, 1.0) @ "obs"
+    >>> traces, _ = packed_svgd(
+    ...     jax.random.key(0), model,
+    ...     [(), ()], [gx.ChoiceMap.kw(obs=2.0), gx.ChoiceMap.kw(obs=-2.0)],
+    ...     gx.Selection.at["mu"], n_particles=64, n_steps=200,
+    ... )
+    >>> m0 = float(jnp.mean(traces[0].get_choices()["mu"]))
+    >>> m1 = float(jnp.mean(traces[1].get_choices()["mu"]))
+    >>> bool(abs(m0 - 1.0) < 0.25 and abs(m1 + 1.0) < 0.25)
+    True
+    """
+    if len(args_list) != len(observations_list):
+        raise ValueError(
+            "packed_svgd: args_list and observations_list must have the "
+            f"same length (got {len(args_list)} vs {len(observations_list)})."
+        )
+    n_problems = len(args_list)
+    k_init, k_edit = jax.random.split(key)
+
+    # With one problem the PRNG stream matches `svgd` exactly, so packed
+    # C=1 is bit-for-bit the plain driver (regression-tested); with C>1
+    # each problem folds its index in.
+    def _pkey(base, c):
+        return base if n_problems == 1 else jax.random.fold_in(base, c)
+
+    traces_c, x0_c, unravel_c, complement_c, caxes_c = [], [], [], [], []
+    for c in range(n_problems):
+        tr, x0, unravel, compl, caxes = _prepare_particles(
+            _pkey(k_init, c),
+            model,
+            args_list[c],
+            observations_list[c],
+            selection,
+            n_particles,
+        )
+        traces_c.append(tr)
+        x0_c.append(x0)
+        unravel_c.append(unravel)
+        complement_c.append(compl)
+        caxes_c.append(caxes)
+
+    dims = [x.shape[1] for x in x0_c]
+    offsets = [0]
+    for d in dims:
+        offsets.append(offsets[-1] + d)
+    x0_joint = jnp.concatenate(x0_c, axis=1)
+
+    def logp(c, vec, compl):
+        full = unravel_c[c](vec).merge(compl)
+        w, _ = model.assess(full, args_list[c])
+        return w
+
+    grad_batches = [
+        jax.vmap(
+            jax.grad(lambda v, comp, c=c: logp(c, v, comp)),
+            in_axes=(0, caxes_c[c]),
+        )
+        for c in range(n_problems)
+    ]
+
+    def grad_joint(x):
+        # Per-problem density gradients: independent blocks of the packed
+        # vector (XLA runs the C small grad passes as one fused program).
+        parts = [
+            grad_batches[c](
+                x[:, offsets[c] : offsets[c + 1]], complement_c[c]
+            )
+            for c in range(n_problems)
+        ]
+        return jnp.concatenate(parts, axis=1)
+
+    if optimizer is not None:
+        opt_state0 = optimizer.init(x0_joint)
+
+        def step(carry, _):
+            x, opt_state = carry
+            g = grad_joint(x)
+            phi, _ = stein_direction(x, g, bandwidth, kernel_dtype)
+            updates, opt_state = optimizer.update(-phi, opt_state, x)
+            x = x + updates
+            out = collect(x) if collect is not None else jnp.mean(jnp.abs(phi))
+            return (x, opt_state), out
+
+        (x, _), outs = jax.lax.scan(
+            step, (x0_joint, opt_state0), None, length=n_steps
+        )
+    else:
+
+        def step(x, _):
+            g = grad_joint(x)
+            phi, _ = stein_direction(x, g, bandwidth, kernel_dtype)
+            x = x + step_size * phi
+            out = collect(x) if collect is not None else jnp.mean(jnp.abs(phi))
+            return x, out
+
+        x, outs = jax.lax.scan(step, x0_joint, None, length=n_steps)
+
+    new_traces = [
+        _rebuild_particles(
+            _pkey(k_edit, c),
+            traces_c[c],
+            x[:, offsets[c] : offsets[c + 1]],
+            unravel_c[c],
+            args_list[c],
+            n_particles,
+        )
+        for c in range(n_problems)
+    ]
+    return new_traces, outs
+
+
+__all__ = [
+    "packed_svgd",
+    "rbf_kernel",
+    "stein_direction",
+    "stein_phi_block",
+    "svgd",
+]

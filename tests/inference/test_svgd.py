@@ -154,3 +154,110 @@ class TestKernelPieces:
         assert phi_close[0, 0] < 0 and phi_close[1, 0] > 0
         # too far -> gradient term dominates (moves together)
         assert phi_far[0, 0] > 0 and phi_far[1, 0] < 0
+
+
+class TestPackedSVGD:
+    """packed_svgd: the lane-packing variant — SVGD on the product
+    target with a joint kernel (see its docstring for the TPU
+    rationale)."""
+
+    def test_single_problem_is_plain_svgd_bitwise(self):
+        """With one problem the joint kernel reduces to the plain RBF
+        kernel and the PRNG stream matches `svgd` — the packed driver
+        must be the plain driver bit-for-bit."""
+        from genjax_tpu.inference.svgd import packed_svgd
+
+        kwargs = dict(
+            selection=Selection.at["mu"],
+            n_particles=64,
+            n_steps=50,
+            step_size=0.3,
+            bandwidth=0.7,
+        )
+        key = jax.random.key(3)
+        plain, phi_plain = svgd(
+            key, scalar_model, (), ChoiceMap.kw(obs=2.0), **kwargs
+        )
+        packed, phi_packed = packed_svgd(
+            key, scalar_model, [()], [ChoiceMap.kw(obs=2.0)], **kwargs
+        )
+        assert len(packed) == 1
+        assert jnp.array_equal(
+            packed[0].get_choices()["mu"], plain.get_choices()["mu"]
+        )
+        assert jnp.array_equal(packed[0].get_score(), plain.get_score())
+        assert jnp.array_equal(phi_packed, phi_plain)
+
+    def test_marginals_match_conjugate_oracles(self):
+        """Three problems, three different observations: each packed
+        slot's marginal must recover ITS OWN conjugate posterior
+        (obs=y -> posterior N(y/2, 1/2)) — this certifies both the
+        product-target transport and the pack/unpack layout (a slot
+        swap would be a gross mean error)."""
+        from genjax_tpu.inference.svgd import packed_svgd
+
+        obs = [-2.0, 0.0, 2.0]
+        traces, phi = jax.jit(
+            lambda k: packed_svgd(
+                k,
+                scalar_model,
+                [(), (), ()],
+                [ChoiceMap.kw(obs=y) for y in obs],
+                Selection.at["mu"],
+                n_particles=256,
+                n_steps=500,
+                step_size=0.3,
+            )
+        )(jax.random.key(0))
+        for c, y in enumerate(obs):
+            mus = traces[c].get_choices()["mu"]
+            assert jnp.abs(jnp.mean(mus) - y / 2.0) < 0.08, (c, y)
+            # Joint-kernel coupling slightly perturbs finite-N spread
+            # relative to independent runs; the band is loose but a
+            # variance collapse (the high-dim SVGD failure mode) or a
+            # wrong repulsion still trips it.
+            assert jnp.abs(jnp.std(mus) - 0.5**0.5) < 0.15, (c, y)
+        assert phi[-1] < 5e-3
+
+    def test_scores_consistent_per_problem(self):
+        """Each returned trace batch is a standard shared-args batch:
+        scores must equal the model density of the transported
+        choices."""
+        from genjax_tpu.inference.svgd import packed_svgd
+
+        traces, _ = packed_svgd(
+            jax.random.key(1),
+            scalar_model,
+            [(), ()],
+            [ChoiceMap.kw(obs=1.0), ChoiceMap.kw(obs=-1.0)],
+            Selection.at["mu"],
+            n_particles=32,
+            n_steps=20,
+            step_size=0.2,
+        )
+        for tr in traces:
+            mus = tr.get_choices()["mu"]
+            obs = tr.get_choices()["obs"]
+            expected = jax.vmap(
+                lambda m, o: scalar_model.assess(
+                    ChoiceMap.kw(mu=m, obs=o), ()
+                )[0]
+            )(mus, jnp.broadcast_to(obs, mus.shape))
+            assert jnp.allclose(tr.get_score(), expected, atol=1e-5)
+
+    def test_length_mismatch_raises(self):
+        from genjax_tpu.inference.svgd import packed_svgd
+
+        try:
+            packed_svgd(
+                jax.random.key(0),
+                scalar_model,
+                [()],
+                [ChoiceMap.kw(obs=1.0), ChoiceMap.kw(obs=2.0)],
+                Selection.at["mu"],
+                n_particles=8,
+                n_steps=1,
+            )
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "same length" in str(e)

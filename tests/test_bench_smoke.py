@@ -28,6 +28,7 @@ REQUIRED_FIELDS = [
     "hmc_chain_steps_per_s",
     "ess_per_s",
     "pf_particle_steps_per_s",
+    "svgd_packed_tflops",
 ]
 
 
