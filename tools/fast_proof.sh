@@ -11,4 +11,5 @@ cd "$(dirname "$0")/.."
 python -m pytest \
   tests/core/test_api_index.py \
   tests/core/test_typecheck.py \
+  tests/test_export_parity.py \
   -q -p no:cacheprovider "$@"
