@@ -42,6 +42,9 @@ def test_two_process_island_smc_matches_single_process():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker switches platform itself
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # The worker must import genjax_tpu without relying on an editable
+    # install being present in the image.
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), str(N_PROC), str(port)],
