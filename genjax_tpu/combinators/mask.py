@@ -4,9 +4,14 @@ Capability parity with reference
 `_src/generative_functions/combinators/mask.py:48-322`, including the
 four-case (pre-check x post-check) transition weight lattice in `edit`.
 
-TPU note: masking multiplies the score by the flag and `select`s values —
-dense arithmetic instead of control flow, the canonical TPU pattern for
-existence uncertainty under vectorization.
+TPU note: masking gates the score through `FlagOp.where` (a `select`) and
+`select`s values — dense arithmetic instead of control flow, the
+canonical TPU pattern for existence uncertainty under vectorization.
+`select`, NOT flag-multiplication: a masked-off subtree can legitimately
+carry a `-inf` inner score (an out-of-support constraint transplanted
+into it — distributions score those `-inf` by design, see
+`distributions/library.py::_guard_support`), and `0 * -inf` is NaN where
+the masked score must be exactly 0.
 """
 
 from typing import Any, Generic, TypeVar
@@ -46,7 +51,7 @@ class MaskTrace(Generic[R], Trace[Any]):
         args = (check, *inner.get_args())
         chm = inner.get_choices().mask(check)
         ret = Mask.build(inner.get_retval(), check)
-        score = check * inner.get_score()
+        score = FlagOp.where(check, inner.get_score(), 0.0)
         return MaskTrace(gen_fn, inner, args, chm, score, ret, check)
 
     def get_args(self) -> tuple:
@@ -85,17 +90,17 @@ class MaskCombinator(Generic[R], GenerativeFunction[Any]):
     ) -> tuple[MaskTrace[R], Weight]:
         check, inner_args = args[0], args[1:]
         tr, w = self.gen_fn.generate(key, constraint, inner_args)
-        return MaskTrace.build(self, tr, check), w * check
+        return MaskTrace.build(self, tr, check), FlagOp.where(check, w, 0.0)
 
     def assess(self, sample: ChoiceMap, args: tuple) -> tuple[Score, Any]:
         check, inner_args = args[0], args[1:]
         score, retval = self.gen_fn.assess(sample, inner_args)
-        return check * score, Mask(retval, check)
+        return FlagOp.where(check, score, 0.0), Mask(retval, check)
 
     def project(self, key: PRNGKey, trace, selection: Selection) -> Weight:
         assert isinstance(trace, MaskTrace)
         inner_w = trace.inner.project(key, selection)
-        return trace.check * inner_w
+        return FlagOp.where(trace.check, inner_w, 0.0)
 
     def edit(
         self,
@@ -126,11 +131,20 @@ class MaskCombinator(Generic[R], GenerativeFunction[Any]):
         t_to_t = FlagOp.and_(pre_check, post_check)
         t_to_f = FlagOp.and_(pre_check, FlagOp.not_(post_check))
         f_to_t = FlagOp.and_(FlagOp.not_(pre_check), post_check)
-        final_trace_score = post_check * new_inner.get_score()
-        final_weight = (
-            f_to_t * final_trace_score
-            + t_to_f * -original.get_score()
-            + t_to_t * weight
+        final_trace_score = FlagOp.where(
+            post_check, new_inner.get_score(), 0.0
+        )
+        # The four lattice cases are mutually exclusive, so a select
+        # chain is exact — and unlike the flag-product sum it stays
+        # NaN-free when any leg is +-inf (impossible-state weights).
+        final_weight = FlagOp.where(
+            t_to_t,
+            weight,
+            FlagOp.where(
+                t_to_f,
+                -original.get_score(),
+                FlagOp.where(f_to_t, final_trace_score, 0.0),
+            ),
         )
 
         if isinstance(bwd, Update):

@@ -106,6 +106,29 @@ def _logits_to_log_probs_bernoulli(logits):
     return -jax.nn.softplus(-logits), -jax.nn.softplus(logits)
 
 
+def _guard_support(in_support, v, safe, lp_fn):
+    """Score `-inf` outside the support instead of NaN or a wrong finite
+    value.
+
+    Under the GFI, a logpdf can be handed ANY value of the right shape —
+    `Update`/`generate` constraints transplanted across Switch branches,
+    Mask flips, or user choice maps land out-of-support values on
+    bounded-support densities (found by the structural GFI fuzzer:
+    a normal draw constrained onto a beta site scored NaN and poisoned
+    the whole edit algebra). The mathematically right score is `-inf`
+    (zero density -> impossible trace -> importance weight -inf, MH
+    rejects); TFP's unchecked densities return NaN here, which this
+    library deliberately does not match.
+
+    Double-`where`: the density formula is evaluated at `safe` where the
+    value is outside the support, so gradients at IN-support points never
+    see the NaN branch (a single `jnp.where` propagates the untaken
+    branch's NaN cotangent).
+    """
+    vs = jnp.where(in_support, v, safe)
+    return jnp.where(in_support, lp_fn(vs), -jnp.inf)
+
+
 # =====================================================================
 # Continuous scalar families
 # =====================================================================
@@ -223,10 +246,15 @@ def _beta_sample(key, concentration1, concentration0):
 
 
 def _beta_logpdf(v, concentration1, concentration0):
-    return (
-        xlogy(concentration1 - 1.0, v)
-        + xlog1py(concentration0 - 1.0, -v)
-        - betaln(concentration1, concentration0)
+    # Closed [0, 1]: xlogy/xlog1py already give the correct boundary
+    # limits (-inf/+inf by concentration); the guard handles outside.
+    return _guard_support(
+        (v >= 0.0) & (v <= 1.0),
+        v,
+        0.5,
+        lambda vs: xlogy(concentration1 - 1.0, vs)
+        + xlog1py(concentration0 - 1.0, -vs)
+        - betaln(concentration1, concentration0),
     )
 
 
@@ -356,11 +384,17 @@ def _gamma_sample(key, concentration, rate):
 
 
 def _gamma_logpdf(v, concentration, rate):
-    return (
-        xlogy(concentration, rate)
-        + xlogy(concentration - 1.0, v)
-        - rate * v
-        - gammaln(concentration)
+    # v = 0 stays in the formula (xlogy gives the correct boundary limit
+    # for every concentration); v < 0 is -inf — without the guard,
+    # concentration == 1 scored a wrong FINITE density at negative v.
+    return _guard_support(
+        v >= 0.0,
+        v,
+        1.0,
+        lambda vs: xlogy(concentration, rate)
+        + xlogy(concentration - 1.0, vs)
+        - rate * vs
+        - gammaln(concentration),
     )
 
 
@@ -373,11 +407,14 @@ def _inverse_gamma_sample(key, concentration, scale):
 
 
 def _inverse_gamma_logpdf(v, concentration, scale):
-    return (
-        xlogy(concentration, scale)
-        - (concentration + 1.0) * jnp.log(v)
-        - scale / v
-        - gammaln(concentration)
+    return _guard_support(
+        v > 0.0,
+        v,
+        1.0,
+        lambda vs: xlogy(concentration, scale)
+        - (concentration + 1.0) * jnp.log(vs)
+        - scale / vs
+        - gammaln(concentration),
     )
 
 
@@ -443,11 +480,14 @@ def _chi_sample(key, df):
 
 
 def _chi_logpdf(v, df):
-    return (
-        xlogy(df - 1.0, v)
-        - v * v / 2.0
+    return _guard_support(
+        v >= 0.0,
+        v,
+        1.0,
+        lambda vs: xlogy(df - 1.0, vs)
+        - vs * vs / 2.0
         - (df / 2.0 - 1.0) * jnp.log(2.0)
-        - gammaln(df / 2.0)
+        - gammaln(df / 2.0),
     )
 
 
@@ -485,7 +525,12 @@ def _log_normal_sample(key, loc, scale):
 
 
 def _log_normal_logpdf(v, loc, scale):
-    return _normal_logpdf(jnp.log(v), loc, scale) - jnp.log(v)
+    return _guard_support(
+        v > 0.0,
+        v,
+        1.0,
+        lambda vs: _normal_logpdf(jnp.log(vs), loc, scale) - jnp.log(vs),
+    )
 
 
 log_normal = native_distribution(_log_normal_sample, _log_normal_logpdf, "log_normal")
@@ -497,7 +542,14 @@ def _logit_normal_sample(key, loc, scale):
 
 
 def _logit_normal_logpdf(v, loc, scale):
-    return _normal_logpdf(logit(v), loc, scale) - jnp.log(v) - jnp.log1p(-v)
+    return _guard_support(
+        (v > 0.0) & (v < 1.0),
+        v,
+        0.5,
+        lambda vs: _normal_logpdf(logit(vs), loc, scale)
+        - jnp.log(vs)
+        - jnp.log1p(-vs),
+    )
 
 
 logit_normal = native_distribution(
@@ -556,13 +608,18 @@ def _weibull_sample(key, concentration, scale):
 
 
 def _weibull_logpdf(v, concentration, scale):
-    z = v / scale
-    return (
-        jnp.log(concentration)
-        - jnp.log(scale)
-        + xlogy(concentration - 1.0, z)
-        - z**concentration
-    )
+    # Without the guard, concentration == 1 scored a wrong FINITE
+    # density at negative v (the xlogy term vanishes there).
+    def lp(vs):
+        z = vs / scale
+        return (
+            jnp.log(concentration)
+            - jnp.log(scale)
+            + xlogy(concentration - 1.0, z)
+            - z**concentration
+        )
+
+    return _guard_support(v >= 0.0, v, 1.0, lp)
 
 
 weibull = native_distribution(_weibull_sample, _weibull_logpdf, "weibull")
@@ -576,11 +633,14 @@ def _kumaraswamy_sample(key, concentration1, concentration0):
 
 def _kumaraswamy_logpdf(v, concentration1, concentration0):
     a, b = concentration1, concentration0
-    return (
-        jnp.log(a)
+    return _guard_support(
+        (v >= 0.0) & (v <= 1.0),
+        v,
+        0.5,
+        lambda vs: jnp.log(a)
         + jnp.log(b)
-        + xlogy(a - 1.0, v)
-        + xlog1py(b - 1.0, -(v**a))
+        + xlogy(a - 1.0, vs)
+        + xlog1py(b - 1.0, -(vs**a)),
     )
 
 
@@ -627,9 +687,13 @@ def _inverse_gaussian_sample(key, loc, concentration):
 
 def _inverse_gaussian_logpdf(v, loc, concentration):
     lam, mu = concentration, loc
-    return (
-        0.5 * (jnp.log(lam) - jnp.log(2.0 * jnp.pi) - 3.0 * jnp.log(v))
-        - lam * (v - mu) ** 2 / (2.0 * mu * mu * v)
+    return _guard_support(
+        v > 0.0,
+        v,
+        1.0,
+        lambda vs: 0.5
+        * (jnp.log(lam) - jnp.log(2.0 * jnp.pi) - 3.0 * jnp.log(vs))
+        - lam * (vs - mu) ** 2 / (2.0 * mu * mu * vs),
     )
 
 
@@ -911,9 +975,17 @@ def _dirichlet_sample(key, concentration):
 
 
 def _dirichlet_logpdf(v, concentration):
-    return jnp.sum(xlogy(concentration - 1.0, v), axis=-1) + gammaln(
-        jnp.sum(concentration, axis=-1)
-    ) - jnp.sum(gammaln(concentration), axis=-1)
+    # Componentwise [0, 1] guard (the NaN source under cross-branch
+    # transplants); the simplex-sum invariant itself is not checked
+    # (float-brittle — same stance as TFP's unchecked densities).
+    in_support = jnp.all((v >= 0.0) & (v <= 1.0), axis=-1)
+    vs = jnp.where(in_support[..., None], v, 0.5)
+    lp = (
+        jnp.sum(xlogy(concentration - 1.0, vs), axis=-1)
+        + gammaln(jnp.sum(concentration, axis=-1))
+        - jnp.sum(gammaln(concentration), axis=-1)
+    )
+    return jnp.where(in_support, lp, -jnp.inf)
 
 
 dirichlet = native_distribution(_dirichlet_sample, _dirichlet_logpdf, "dirichlet")
@@ -936,7 +1008,13 @@ def _bern_logpdf(v, logits=None, probs=None):
         log_p, log_1mp = _logits_to_log_probs_bernoulli(logits)
     else:
         log_p, log_1mp = jnp.log(probs), jnp.log1p(-probs)
-    return vf * log_p + (1.0 - vf) * log_1mp
+    # Support {0, 1}: a fractional/out-of-range transplant scored a wrong
+    # finite "interpolated" density without the guard.
+    return jnp.where(
+        (vf == 0.0) | (vf == 1.0),
+        vf * log_p + (1.0 - vf) * log_1mp,
+        -jnp.inf,
+    )
 
 
 # bernoulli / categorical apply the implicit-logit interpretation to bare
@@ -967,7 +1045,11 @@ def _flip_sample(key, p):
 
 def _flip_logpdf(v, p):
     vf = jnp.asarray(v, dtype=jnp.result_type(float))
-    return xlogy(vf, p) + xlog1py(1.0 - vf, -p)
+    return jnp.where(
+        (vf == 0.0) | (vf == 1.0),
+        xlogy(vf, p) + xlog1py(1.0 - vf, -p),
+        -jnp.inf,
+    )
 
 
 flip = native_distribution(_flip_sample, _flip_logpdf, "flip")
@@ -997,11 +1079,18 @@ def _categorical_logpdf(v, *args, **kwargs):
         logits = jnp.log(probs)
     log_probs = log_softmax(logits, axis=-1)
     v = jnp.asarray(v, dtype=jnp.int32)
+    # Index-bounds guard: without it a negative index WRAPS (scoring the
+    # last category's probability) and an overlarge one clamps — both
+    # silently wrong under cross-branch transplants.
+    n_cat = jnp.shape(log_probs)[-1]
+    in_support = (v >= 0) & (v < n_cat)
+    vs = jnp.where(in_support, v, 0)
     if jnp.ndim(log_probs) == 1:
         # One shared logits row scored at scalar or batched draws (e.g.
         # `sample_shape=` iid indices): a plain gather broadcasts.
-        return log_probs[v]
-    return jnp.take_along_axis(log_probs, v[..., None], axis=-1)[..., 0]
+        return jnp.where(in_support, log_probs[vs], -jnp.inf)
+    gathered = jnp.take_along_axis(log_probs, vs[..., None], axis=-1)[..., 0]
+    return jnp.where(in_support, gathered, -jnp.inf)
 
 
 categorical = native_distribution(_categorical_sample, _categorical_logpdf, "categorical")
@@ -1024,7 +1113,12 @@ def _binomial_logpdf(v, total_count, probs=None, logits=None):
         log_p, log_1mp = _logits_to_log_probs_bernoulli(logits)
     else:
         log_p, log_1mp = jnp.log(probs), jnp.log1p(-probs)
-    return log_binom(n, v) + v * log_p + (n - v) * log_1mp
+    vf = jnp.asarray(v, dtype=jnp.result_type(float))
+    in_support = (vf >= 0.0) & (vf <= n)
+    vs = jnp.where(in_support, vf, 0.0)  # gammaln poles off-support
+    return jnp.where(
+        in_support, log_binom(n, vs) + vs * log_p + (n - vs) * log_1mp, -jnp.inf
+    )
 
 
 binomial = native_distribution(_binomial_sample, _binomial_logpdf, "binomial")
@@ -1038,7 +1132,14 @@ def _beta_binomial_sample(key, total_count, concentration1, concentration0):
 
 def _beta_binomial_logpdf(v, total_count, concentration1, concentration0):
     n, a, b = total_count, concentration1, concentration0
-    return log_binom(n, v) + betaln(v + a, n - v + b) - betaln(a, b)
+    vf = jnp.asarray(v, dtype=jnp.result_type(float))
+    in_support = (vf >= 0.0) & (vf <= n)
+    vs = jnp.where(in_support, vf, 0.0)
+    return jnp.where(
+        in_support,
+        log_binom(n, vs) + betaln(vs + a, n - vs + b) - betaln(a, b),
+        -jnp.inf,
+    )
 
 
 beta_binomial = native_distribution(
@@ -1064,6 +1165,8 @@ def _beta_quotient_logpdf(v, a1, b1, a2, b2):
     (closed form; see e.g. Pham-Gia 2000)."""
     from jax.scipy.special import hyp2f1
 
+    in_support = v > 0.0
+    v = jnp.where(in_support, v, 1.0)  # safe value; guarded below
     log_norm = betaln(a1 + a2, b1) - betaln(a1, b1) - betaln(a2, b2)
     # Branch z <= 1.
     z_lo = jnp.clip(v, 1e-30, 1.0)
@@ -1081,7 +1184,7 @@ def _beta_quotient_logpdf(v, a1, b1, a2, b2):
         - (a2 + 1.0) * jnp.log(z_hi)
         + jnp.log(hyp2f1(a1 + a2, 1.0 - b2, a1 + a2 + b2, 1.0 / z_hi))
     )
-    return jnp.where(v <= 1.0, lp_lo, lp_hi)
+    return jnp.where(in_support, jnp.where(v <= 1.0, lp_lo, lp_hi), -jnp.inf)
 
 
 beta_quotient = native_distribution(
@@ -1099,7 +1202,9 @@ def _geometric_sample(key, logits=None, probs=None):
 def _geometric_logpdf(v, logits=None, probs=None):
     p = jax.nn.sigmoid(logits) if probs is None else probs
     vf = jnp.asarray(v, dtype=jnp.result_type(float))
-    return xlog1py(vf, -p) + jnp.log(p)
+    # Support {0, 1, ...}: negative transplants scored a wrong finite
+    # density without the guard.
+    return jnp.where(vf >= 0.0, xlog1py(vf, -p) + jnp.log(p), -jnp.inf)
 
 
 geometric = native_distribution(_geometric_sample, _geometric_logpdf, "geometric")
@@ -1111,7 +1216,11 @@ def _poisson_sample(key, rate):
 
 def _poisson_logpdf(v, rate):
     vf = jnp.asarray(v, dtype=jnp.result_type(float))
-    return xlogy(vf, rate) - rate - gammaln(vf + 1.0)
+    # Negative integers already hit gammaln's pole (-inf); the explicit
+    # guard also covers negative non-integers.
+    return jnp.where(
+        vf >= 0.0, xlogy(vf, rate) - rate - gammaln(vf + 1.0), -jnp.inf
+    )
 
 
 poisson = native_distribution(_poisson_sample, _poisson_logpdf, "poisson")
@@ -1132,8 +1241,11 @@ def _negative_binomial_logpdf(v, total_count, logits=None, probs=None):
         log_p, log_1mp = _logits_to_log_probs_bernoulli(logits)
     else:
         log_p, log_1mp = jnp.log(probs), jnp.log1p(-probs)
-    return (
-        gammaln(vf + r) - gammaln(r) - gammaln(vf + 1.0) + r * log_1mp + vf * log_p
+    return jnp.where(
+        vf >= 0.0,
+        gammaln(vf + r) - gammaln(r) - gammaln(vf + 1.0) + r * log_1mp
+        + vf * log_p,
+        -jnp.inf,
     )
 
 
@@ -1153,11 +1265,18 @@ def _multinomial_logpdf(v, total_count, probs=None, logits=None):
     else:
         log_p = jnp.log(probs)
     vf = jnp.asarray(v, dtype=jnp.result_type(float))
-    return (
-        gammaln(total_count + 1.0)
-        - jnp.sum(gammaln(vf + 1.0), axis=-1)
-        + jnp.sum(vf * log_p, axis=-1)
+    # Counts must be nonnegative and sum to total_count; a transplanted
+    # vector violating either scored a wrong finite density.
+    in_support = jnp.all(vf >= 0.0, axis=-1) & (
+        jnp.sum(vf, axis=-1) == total_count
     )
+    vs = jnp.where(in_support[..., None], vf, 0.0)
+    lp = (
+        gammaln(total_count + 1.0)
+        - jnp.sum(gammaln(vs + 1.0), axis=-1)
+        + jnp.sum(vs * log_p, axis=-1)
+    )
+    return jnp.where(in_support, lp, -jnp.inf)
 
 
 multinomial = native_distribution(_multinomial_sample, _multinomial_logpdf, "multinomial")
@@ -1173,13 +1292,18 @@ def _dirichlet_multinomial_logpdf(v, total_count, concentration):
     a = concentration
     vf = jnp.asarray(v, dtype=jnp.result_type(float))
     a0 = jnp.sum(a, axis=-1)
-    return (
+    in_support = jnp.all(vf >= 0.0, axis=-1) & (
+        jnp.sum(vf, axis=-1) == total_count
+    )
+    vs = jnp.where(in_support[..., None], vf, 0.0)
+    lp = (
         gammaln(total_count + 1.0)
-        - jnp.sum(gammaln(vf + 1.0), axis=-1)
+        - jnp.sum(gammaln(vs + 1.0), axis=-1)
         + gammaln(a0)
         - gammaln(total_count + a0)
-        + jnp.sum(gammaln(vf + a) - gammaln(a), axis=-1)
+        + jnp.sum(gammaln(vs + a) - gammaln(a), axis=-1)
     )
+    return jnp.where(in_support, lp, -jnp.inf)
 
 
 dirichlet_multinomial = native_distribution(
@@ -1252,11 +1376,14 @@ def _non_central_chi2_sample(key, df, noncentrality):
 def _non_central_chi2_logpdf(v, df, noncentrality):
     lam = noncentrality
     nu = df / 2.0 - 1.0
-    return (
-        -jnp.log(2.0)
-        - (v + lam) / 2.0
-        + (nu / 2.0) * (jnp.log(v) - jnp.log(lam))
-        + log_bessel_iv(nu, jnp.sqrt(lam * v), num_terms=60)
+    return _guard_support(
+        v > 0.0,
+        v,
+        1.0,
+        lambda vs: -jnp.log(2.0)
+        - (vs + lam) / 2.0
+        + (nu / 2.0) * (jnp.log(vs) - jnp.log(lam))
+        + log_bessel_iv(nu, jnp.sqrt(lam * vs), num_terms=60),
     )
 
 

@@ -341,7 +341,20 @@ def check_contract(spec, seed: int, x: float, bits: int, which=None):
                 ks[6], new_tr, bwd, Diff.no_change(args)
             )
             _close(back.get_score(), tr.get_score(), "discard round trip", spec)
-            _close(w3 + w4, 0.0, "update weight antisymmetry", spec)
+            if jnp.isneginf(w3):
+                # The constraint transplanted an out-of-support value
+                # onto a bounded-support density (zero density -> score
+                # -inf by design, distributions/library.py::
+                # _guard_support): the inverse edit's weight is +inf and
+                # the finite antisymmetry sum is ill-defined — the sign
+                # pair plus the exact score round trip above are the
+                # identity's infinite-weight form.
+                assert jnp.isposinf(w4), (
+                    f"inverse of a -inf update must weigh +inf, got {w4} "
+                    f"for spec {spec}"
+                )
+            else:
+                _close(w3 + w4, 0.0, "update weight antisymmetry", spec)
 
     if 2 in rotations:
         # (4) regenerate weight == Δ joint score, selection including
