@@ -65,6 +65,27 @@ def main():
         except TypeError as e:
             assert "merge" in str(e)
 
+    # --- impossible constraints score -inf, never NaN ---
+    # Every bounded-support density guards its support
+    # (distributions/library.py::_guard_support): constraining a value
+    # the model cannot produce yields score/weight -inf — an explicit,
+    # testable "impossible trace" — where TFP-backed densities (and
+    # hence the reference) return NaN or a silently wrong finite value.
+    # Detect bad constraints with jnp.isneginf, not jnp.isnan.
+    from genjax_tpu import beta
+
+    @gen
+    def bounded():
+        p = beta(2.0, 2.0) @ "p"
+        return p
+
+    score, _ = bounded.assess(ChoiceMap.kw(p=-0.3), ())  # outside (0, 1)
+    assert jnp.isneginf(score)
+    _, w = bounded.generate(jax.random.key(1), ChoiceMap.kw(p=-0.3), ())
+    assert jnp.isneginf(w)  # importance weight: this constraint has
+    # zero density, so any MH move proposing it is rejected and any
+    # particle carrying it dies at the next resampling.
+
     # --- rich rendering ---
     @gen
     def model():
