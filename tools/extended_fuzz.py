@@ -12,7 +12,9 @@ on depth-3 (12-20 s each with the full battery).
 Findings to date: the r5 out-of-support guard family
 (distributions/library.py::_guard_support) — a cross-branch Update
 transplanting a normal draw onto a beta site scored NaN — surfaced by
-this sweep at structure #51 of its first run.
+this sweep at structure #51 of its first run. After that fix, a
+confirmation sweep (seed 987654, 5400 s budget) passed 1000+ random
+structures with zero contract violations.
 
 Usage:
     python tools/extended_fuzz.py [budget_seconds] [seed]
